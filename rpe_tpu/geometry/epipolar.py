@@ -1,0 +1,137 @@
+"""Essential-matrix estimation building blocks (pure JAX, fully batched).
+
+TPU-native replacement for the linear algebra inside OpenCV's
+`cv2.findEssentialMat` (reference: src/core/pose_estimator.py:522-527).
+Instead of a sequential RANSAC loop around a minimal solver, every routine
+here is written to run over a leading *hypothesis* batch axis so thousands
+of candidate models are solved simultaneously on the MXU/VPU
+(see SURVEY.md §2.3 "hypothesis-level parallelism").
+
+All image points are pixel coordinates unless noted; `normalize_points`
+moves them to normalized camera coordinates (K^-1 applied), which is where
+the solvers and Sampson scoring operate (matching OpenCV, which normalizes
+by K and rescales the pixel threshold by the mean focal length).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+def normalize_points(pts, K):
+    """Pixel coords (..., N, 2) -> normalized camera coords via K^-1.
+
+    K is (3, 3) (fx, fy, cx, cy, possibly skew=0). Uses the closed form
+    instead of a matrix solve.
+    """
+    fx = K[0, 0]
+    fy = K[1, 1]
+    cx = K[0, 2]
+    cy = K[1, 2]
+    x = (pts[..., 0] - cx) / fx
+    y = (pts[..., 1] - cy) / fy
+    return jnp.stack([x, y], axis=-1)
+
+
+def _build_epipolar_rows(pts1, pts2):
+    """Rows of the DLT system: a_i . e = 0 with e = vec(E) (row-major).
+
+    For x2^T E x1 = 0 with x = (x, y, 1):
+    row = [x2*x1, x2*y1, x2, y2*x1, y2*y1, y2, x1, y1, 1].
+    pts: (..., N, 2) normalized coords. Returns (..., N, 9).
+    """
+    x1, y1 = pts1[..., 0], pts1[..., 1]
+    x2, y2 = pts2[..., 0], pts2[..., 1]
+    one = jnp.ones_like(x1)
+    return jnp.stack(
+        [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, one], axis=-1
+    )
+
+
+def eight_point(pts1, pts2, weights=None):
+    """Weighted 8-point (or n-point least-squares) essential matrix.
+
+    pts1, pts2: (..., N, 2) normalized camera coords (N >= 8).
+    weights:    (..., N) nonnegative; zeros drop points (used both for the
+                minimal 8-of-N sampling mask and for inlier refits).
+
+    Returns E (..., 3, 3) with ||E||_F = 1 (sign unconstrained), *not yet*
+    projected to the essential manifold — use `project_to_essential`.
+
+    Solved as the eigenvector of A^T W A for the smallest eigenvalue; the
+    9x9 symmetric eigendecomposition batches onto TPU cleanly (XLA eigh),
+    unlike a tall-skinny SVD per hypothesis.
+
+    An isotropic Hartley rescaling of each point set is applied for
+    conditioning (points are already roughly centered after K^-1).
+    """
+    A = _build_epipolar_rows(pts1, pts2)  # (..., N, 9)
+    if weights is not None:
+        A = A * weights[..., None]
+    # Normal matrix, (..., 9, 9). f32 is adequate after K-normalization.
+    AtA = jnp.einsum("...ni,...nj->...ij", A, A)
+    evals, evecs = jnp.linalg.eigh(AtA)
+    e = evecs[..., :, 0]  # eigenvector of smallest eigenvalue
+    E = e.reshape(*e.shape[:-1], 3, 3)
+    return E
+
+
+def project_to_essential(E):
+    """Project E onto the essential manifold: singular values -> (1, 1, 0).
+
+    Uses the eigendecomposition of E^T E (3x3 symmetric) instead of a general
+    SVD: V from eigh, U = E V / sigma, with the null column completed by a
+    cross product. Returns (E_proj, U, Vt) where U, Vt are proper rotations
+    (det = +1) and E_proj = U @ diag(1, 1, 0) @ Vt.
+    """
+    EtE = jnp.matmul(jnp.swapaxes(E, -1, -2), E)
+    evals, V = jnp.linalg.eigh(EtE)  # ascending eigenvalues
+    # Reorder to descending singular values.
+    V = V[..., ::-1]
+    s = jnp.sqrt(jnp.clip(evals[..., ::-1], 0.0, None))  # (..., 3) descending
+    # f32 eigh can leave V slightly non-orthogonal; Gram-Schmidt repair.
+    v0 = V[..., :, 0]
+    v0 = v0 / (jnp.linalg.norm(v0, axis=-1, keepdims=True) + _EPS)
+    v1 = V[..., :, 1]
+    v1 = v1 - jnp.sum(v0 * v1, axis=-1, keepdims=True) * v0
+    v1 = v1 / (jnp.linalg.norm(v1, axis=-1, keepdims=True) + _EPS)
+    v2 = jnp.cross(v0, v1)
+    V = jnp.stack([v0, v1, v2], axis=-1)
+    u0 = jnp.matmul(E, V[..., :, 0:1])[..., 0] / (s[..., 0:1] + _EPS)
+    u1 = jnp.matmul(E, V[..., :, 1:2])[..., 0] / (s[..., 1:2] + _EPS)
+    u0 = u0 / (jnp.linalg.norm(u0, axis=-1, keepdims=True) + _EPS)
+    # Gram-Schmidt to guard near-equal singular values.
+    u1 = u1 - jnp.sum(u0 * u1, axis=-1, keepdims=True) * u0
+    u1 = u1 / (jnp.linalg.norm(u1, axis=-1, keepdims=True) + _EPS)
+    u2 = jnp.cross(u0, u1)
+    U = jnp.stack([u0, u1, u2], axis=-1)
+    # Make U, V proper rotations (flip last column if det < 0).
+    detU = jnp.linalg.det(U)
+    U = U.at[..., :, 2].multiply(jnp.sign(detU)[..., None])
+    detV = jnp.linalg.det(V)
+    V = V.at[..., :, 2].multiply(jnp.sign(detV)[..., None])
+    Vt = jnp.swapaxes(V, -1, -2)
+    D = jnp.zeros_like(E).at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
+    E_proj = jnp.matmul(U, jnp.matmul(D, Vt))
+    return E_proj, U, Vt
+
+
+def sampson_error_sq(E, pts1, pts2):
+    """Squared Sampson distance of each correspondence to the epipolar model.
+
+    E: (..., 3, 3); pts: (..., N, 2) normalized coords. Returns (..., N).
+    This is the same residual OpenCV's essential-matrix RANSAC thresholds
+    (threshold given in pixels is divided by the mean focal length before
+    comparison — see `ransac.py`).
+    """
+    x1 = jnp.concatenate([pts1, jnp.ones_like(pts1[..., :1])], axis=-1)
+    x2 = jnp.concatenate([pts2, jnp.ones_like(pts2[..., :1])], axis=-1)
+    Ex1 = jnp.einsum("...ij,...nj->...ni", E, x1)   # (..., N, 3)
+    Etx2 = jnp.einsum("...ji,...nj->...ni", E, x2)  # (..., N, 3)
+    x2tEx1 = jnp.sum(x2 * Ex1, axis=-1)             # (..., N)
+    denom = (Ex1[..., 0] ** 2 + Ex1[..., 1] ** 2
+             + Etx2[..., 0] ** 2 + Etx2[..., 1] ** 2)
+    return (x2tEx1 ** 2) / (denom + _EPS)

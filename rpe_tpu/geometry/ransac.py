@@ -1,0 +1,134 @@
+"""Massively batched RANSAC for essential-matrix estimation (pure JAX).
+
+Replaces the sequential, early-exiting RANSAC loop inside
+`cv2.findEssentialMat(method=RANSAC, prob=0.999, threshold=1.0)`
+(reference: src/core/pose_estimator.py:522-527) with a fixed-size tensor of
+hypotheses evaluated simultaneously:
+
+  1. Sample NUM_HYPOTHESES index sets of size 8 from the valid matches
+     (uniform without replacement, via top-k of iid uniform keys).
+  2. Solve every minimal sample with the batched 8-point solver in one shot.
+  3. Score every hypothesis against every correspondence with a fused
+     Sampson-distance kernel -> (H, N) residual matrix.
+  4. argmax inlier count -> best model; then a fixed number of least-squares
+     refits on the inlier set (replacing OpenCV's implicit polish).
+
+OpenCV adaptively chooses its iteration count from the inlier ratio with
+prob=0.999; a fixed H=2048 batch exceeds the iterations OpenCV would run for
+any inlier ratio >= ~18% on minimal-8 samples, so the batched version is at
+least as strong (see SURVEY.md §7 "RANSAC fidelity without sequential
+adaptivity"). There is no data-dependent control flow: shapes are static and
+everything jits into one XLA program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .epipolar import eight_point, project_to_essential, sampson_error_sq
+
+_EPS = 1e-12
+
+
+def sample_minimal_indices(key, valid_mask, num_hypotheses, sample_size=8):
+    """Uniform random `sample_size`-subsets of the valid correspondences.
+
+    valid_mask: (N,) bool. Returns (H, S) int32 indices. Implemented as
+    top-k over iid uniform keys (invalid entries get -inf), which yields a
+    uniform random subset per hypothesis with no rejection loop — the
+    TPU-friendly equivalent of OpenCV's distinct-index sampler.
+    """
+    n = valid_mask.shape[0]
+    keys = jax.random.uniform(key, (num_hypotheses, n))
+    keys = jnp.where(valid_mask[None, :], keys, -jnp.inf)
+    _, idx = jax.lax.top_k(keys, sample_size)
+    return idx
+
+
+def _gather_sample(pts, idx):
+    """pts (N, 2), idx (H, S) -> (H, S, 2)."""
+    return jnp.take(pts, idx, axis=0)
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "refit_rounds"))
+def ransac_essential(
+    key,
+    pts1_n,
+    pts2_n,
+    valid_mask,
+    threshold_n,
+    num_hypotheses: int = 2048,
+    refit_rounds: int = 2,
+):
+    """Batched-hypothesis essential matrix RANSAC.
+
+    Args:
+      key: jax PRNG key.
+      pts1_n, pts2_n: (N, 2) normalized camera coordinates (K^-1 applied).
+      valid_mask: (N,) bool — which correspondences are real (static shapes
+        require padding; see SURVEY.md §7 static-shape discipline).
+      threshold_n: scalar Sampson threshold in *normalized* units
+        (pixel_threshold / mean_focal, matching OpenCV's rescaling).
+      num_hypotheses: static hypothesis batch size.
+      refit_rounds: least-squares refits on the winning inlier set.
+
+    Returns dict with:
+      E: (3, 3) best essential matrix (projected to the essential manifold)
+      inlier_mask: (N,) bool
+      num_inliers: () int32
+      ok: () bool — False when fewer than 8 valid matches or no model found.
+    """
+    n = pts1_n.shape[0]
+    num_valid = jnp.sum(valid_mask.astype(jnp.int32))
+
+    idx = sample_minimal_indices(key, valid_mask, num_hypotheses)  # (H, 8)
+    s1 = _gather_sample(pts1_n, idx)  # (H, 8, 2)
+    s2 = _gather_sample(pts2_n, idx)
+
+    E_h = eight_point(s1, s2)                       # (H, 3, 3)
+    E_h, _, _ = project_to_essential(E_h)           # rank-2 projection
+
+    # Fused scoring: (H, N) Sampson residuals in one shot.
+    d2 = sampson_error_sq(E_h, pts1_n[None], pts2_n[None])  # (H, N)
+    thr2 = threshold_n * threshold_n
+    inliers_h = (d2 < thr2) & valid_mask[None, :]
+    counts = jnp.sum(inliers_h.astype(jnp.int32), axis=-1)  # (H,)
+
+    # MSAC-style tie-break: among equal counts prefer lower truncated loss.
+    trunc = jnp.sum(jnp.minimum(d2, thr2) * valid_mask[None, :], axis=-1)
+    score = counts.astype(jnp.float32) - trunc / (trunc.max() + 1.0)
+    best = jnp.argmax(score)
+
+    E_best = E_h[best]
+    inlier_mask = inliers_h[best]
+
+    def refit(carry, _):
+        E_cur, mask_cur = carry
+        w = mask_cur.astype(pts1_n.dtype)
+        # Guard: keep previous model if the inlier set collapsed below 8.
+        enough = jnp.sum(mask_cur.astype(jnp.int32)) >= 8
+        E_new = eight_point(pts1_n, pts2_n, weights=w)
+        E_new, _, _ = project_to_essential(E_new)
+        d2_new = sampson_error_sq(E_new, pts1_n, pts2_n)
+        mask_new = (d2_new < thr2) & valid_mask
+        better = jnp.sum(mask_new.astype(jnp.int32)) >= jnp.sum(mask_cur.astype(jnp.int32))
+        take = enough & better
+        E_out = jnp.where(take, E_new, E_cur)
+        mask_out = jnp.where(take, mask_new, mask_cur)
+        return (E_out, mask_out), None
+
+    (E_best, inlier_mask), _ = jax.lax.scan(
+        refit, (E_best, inlier_mask), None, length=refit_rounds
+    )
+
+    num_inliers = jnp.sum(inlier_mask.astype(jnp.int32))
+    ok = (num_valid >= 8) & (num_inliers >= 5)
+    return {
+        "E": E_best,
+        "inlier_mask": inlier_mask,
+        "num_inliers": num_inliers,
+        "ok": ok,
+    }

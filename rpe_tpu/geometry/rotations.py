@@ -1,0 +1,214 @@
+"""Rotation parameterizations and angular error metrics (pure JAX, batch-friendly).
+
+TPU-native re-design of the reference's rotation utilities
+(reference: src/utils/geometry.py:14-237). All functions are jit-safe,
+branch-free (lax.cond/where instead of Python `if`), and work on leading
+batch dimensions via vmap-compatible shapes.
+
+Conventions (mirroring reference src/utils/geometry.py:10-11):
+  * "yup": R = Ry(yaw) @ Rx(pitch) @ Rz(roll)   (simulator data)
+  * "zyx": R = Rz(yaw) @ Ry(pitch) @ Rx(roll)   (phone / Salah data)
+
+Angles are degrees at the API boundary (as in the reference).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+CONVENTION_YUP = "yup"
+CONVENTION_ZYX = "zyx"
+
+_EPS = 1e-12
+
+
+def _deg2rad(x):
+    return x * (jnp.pi / 180.0)
+
+
+def _rad2deg(x):
+    return x * (180.0 / jnp.pi)
+
+
+# ---------------------------------------------------------------------------
+# Euler -> R
+# ---------------------------------------------------------------------------
+
+def euler_to_rotation_yup(yaw_deg, pitch_deg, roll_deg):
+    """R = Ry(yaw) @ Rx(pitch) @ Rz(roll), Y-up convention.
+
+    Mirrors reference src/utils/geometry.py:83-125. Accepts scalars or
+    broadcastable arrays; returns (..., 3, 3).
+    """
+    y = _deg2rad(jnp.asarray(yaw_deg))
+    p = _deg2rad(jnp.asarray(pitch_deg))
+    r = _deg2rad(jnp.asarray(roll_deg))
+    cy, sy = jnp.cos(y), jnp.sin(y)
+    cp, sp = jnp.cos(p), jnp.sin(p)
+    cr, sr = jnp.cos(r), jnp.sin(r)
+    # Closed form of Ry @ Rx @ Rz (expanded to avoid tiny-matmul chains on TPU).
+    R = jnp.stack([
+        jnp.stack([cy * cr + sy * sp * sr, -cy * sr + sy * sp * cr, sy * cp], -1),
+        jnp.stack([cp * sr, cp * cr, -sp], -1),
+        jnp.stack([-sy * cr + cy * sp * sr, sy * sr + cy * sp * cr, cy * cp], -1),
+    ], axis=-2)
+    return R
+
+
+def euler_to_rotation_zyx(yaw_deg, pitch_deg, roll_deg):
+    """R = Rz(yaw) @ Ry(pitch) @ Rx(roll), ZYX camera convention.
+
+    Mirrors reference src/utils/geometry.py:208-237.
+    """
+    y = _deg2rad(jnp.asarray(yaw_deg))
+    p = _deg2rad(jnp.asarray(pitch_deg))
+    r = _deg2rad(jnp.asarray(roll_deg))
+    cy, sy = jnp.cos(y), jnp.sin(y)
+    cp, sp = jnp.cos(p), jnp.sin(p)
+    cr, sr = jnp.cos(r), jnp.sin(r)
+    R = jnp.stack([
+        jnp.stack([cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr], -1),
+        jnp.stack([sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr], -1),
+        jnp.stack([-sp, cp * sr, cp * cr], -1),
+    ], axis=-2)
+    return R
+
+
+def euler_to_rotation(yaw_deg, pitch_deg, roll_deg, convention=CONVENTION_YUP):
+    """Convention dispatch (static string), reference src/utils/geometry.py:30-45."""
+    if convention == CONVENTION_ZYX:
+        return euler_to_rotation_zyx(yaw_deg, pitch_deg, roll_deg)
+    return euler_to_rotation_yup(yaw_deg, pitch_deg, roll_deg)
+
+
+# ---------------------------------------------------------------------------
+# R -> Euler
+# ---------------------------------------------------------------------------
+
+def rotation_to_euler_yup(R):
+    """Rotation matrix -> (yaw, pitch, roll) degrees, Y-up convention.
+
+    Branch-free version of reference src/utils/geometry.py:48-80 including the
+    gimbal-lock fallback at |R[2,1]| > 0.9999. Works on (..., 3, 3).
+    """
+    R = jnp.asarray(R)
+    r21 = R[..., 2, 1]
+    pitch = jnp.arcsin(jnp.clip(r21, -1.0, 1.0))
+    lock = jnp.abs(r21) > 0.9999
+    yaw_n = jnp.arctan2(-R[..., 2, 0], R[..., 0, 0])
+    roll_n = jnp.arctan2(R[..., 1, 0], R[..., 1, 1])
+    yaw_l = jnp.zeros_like(yaw_n)
+    roll_l = jnp.arctan2(-R[..., 1, 2], R[..., 1, 1])
+    yaw = jnp.where(lock, yaw_l, yaw_n)
+    roll = jnp.where(lock, roll_l, roll_n)
+    return _rad2deg(yaw), _rad2deg(pitch), _rad2deg(roll)
+
+
+def rotation_to_euler_zyx(R):
+    """Rotation matrix -> (yaw, pitch, roll) degrees, ZYX convention.
+
+    Branch-free version of reference src/utils/geometry.py:181-205 including
+    the sy < 1e-6 singularity guard.
+    """
+    R = jnp.asarray(R)
+    sy = jnp.sqrt(R[..., 0, 0] ** 2 + R[..., 1, 0] ** 2)
+    singular = sy < 1e-6
+    roll_n = jnp.arctan2(R[..., 2, 1], R[..., 2, 2])
+    yaw_n = jnp.arctan2(R[..., 1, 0], R[..., 0, 0])
+    roll_s = jnp.arctan2(-R[..., 1, 2], R[..., 1, 1])
+    yaw_s = jnp.zeros_like(yaw_n)
+    pitch = jnp.arctan2(-R[..., 2, 0], sy)
+    roll = jnp.where(singular, roll_s, roll_n)
+    yaw = jnp.where(singular, yaw_s, yaw_n)
+    return _rad2deg(yaw), _rad2deg(pitch), _rad2deg(roll)
+
+
+def rotation_to_euler(R, convention=CONVENTION_YUP):
+    if convention == CONVENTION_ZYX:
+        return rotation_to_euler_zyx(R)
+    return rotation_to_euler_yup(R)
+
+
+# ---------------------------------------------------------------------------
+# so(3) exp / log (replaces cv2.Rodrigues, reference pose_estimator.py:388-400)
+# ---------------------------------------------------------------------------
+
+def so3_exp(w):
+    """Rodrigues formula: so(3) vector (..., 3) -> rotation matrix (..., 3, 3).
+
+    Closed form, jit-safe, numerically stable near theta=0 via Taylor guards.
+    """
+    w = jnp.asarray(w)
+    theta2 = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(theta2 + _EPS)
+    # sin(t)/t and (1-cos t)/t^2 with small-angle Taylor fallback.
+    small = theta2 < 1e-12
+    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / (theta2 + _EPS))
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    zeros = jnp.zeros_like(wx)
+    K = jnp.stack([
+        jnp.stack([zeros, -wz, wy], -1),
+        jnp.stack([wz, zeros, -wx], -1),
+        jnp.stack([-wy, wx, zeros], -1),
+    ], axis=-2)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
+    return eye + A[..., None, None] * K + B[..., None, None] * (K @ K)
+
+
+def so3_log(R):
+    """Inverse Rodrigues: rotation matrix (..., 3, 3) -> so(3) vector (..., 3)."""
+    R = jnp.asarray(R)
+    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(cos_t)
+    v = jnp.stack([
+        R[..., 2, 1] - R[..., 1, 2],
+        R[..., 0, 2] - R[..., 2, 0],
+        R[..., 1, 0] - R[..., 0, 1],
+    ], axis=-1)
+    sin_t = jnp.sin(theta)
+    scale = jnp.where(jnp.abs(sin_t) < 1e-6,
+                      0.5 + theta * theta / 12.0,
+                      theta / (2.0 * sin_t + _EPS))
+    return v * scale[..., None]
+
+
+# ---------------------------------------------------------------------------
+# Error metrics (the parity contract)
+# ---------------------------------------------------------------------------
+
+def rotation_error(R_est, R_gt):
+    """Geodesic rotation error in degrees: arccos((tr(R_est R_gt^T)-1)/2).
+
+    Mirrors reference src/utils/geometry.py:128-149 (including the clip).
+    Batched over leading dims.
+    """
+    R_diff = jnp.matmul(R_est, jnp.swapaxes(R_gt, -1, -2))
+    trace = R_diff[..., 0, 0] + R_diff[..., 1, 1] + R_diff[..., 2, 2]
+    cos_angle = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    return _rad2deg(jnp.arccos(cos_angle))
+
+
+def translation_direction_error(t_est, t_gt):
+    """Angle (degrees) between normalized translation directions.
+
+    Mirrors reference src/utils/geometry.py:152-174. Batched over leading dims;
+    inputs (..., 3) or (..., 3, 1).
+    """
+    t_est = jnp.asarray(t_est).reshape(*jnp.asarray(t_est).shape[:-2], -1) \
+        if jnp.asarray(t_est).ndim >= 2 and jnp.asarray(t_est).shape[-1] == 1 \
+        else jnp.asarray(t_est)
+    t_gt = jnp.asarray(t_gt).reshape(*jnp.asarray(t_gt).shape[:-2], -1) \
+        if jnp.asarray(t_gt).ndim >= 2 and jnp.asarray(t_gt).shape[-1] == 1 \
+        else jnp.asarray(t_gt)
+    e = t_est / (jnp.linalg.norm(t_est, axis=-1, keepdims=True) + _EPS)
+    g = t_gt / (jnp.linalg.norm(t_gt, axis=-1, keepdims=True) + _EPS)
+    dot = jnp.clip(jnp.sum(e * g, axis=-1), -1.0, 1.0)
+    return _rad2deg(jnp.arccos(dot))
+
+
+def wrap_angle_error(error_deg):
+    """abs(((e + 180) mod 360) - 180) — reference src/core/pose_evaluator.py:186-198."""
+    return jnp.abs(((jnp.asarray(error_deg) + 180.0) % 360.0) - 180.0)

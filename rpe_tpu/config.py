@@ -1,0 +1,71 @@
+"""Frozen configuration dataclasses (static hashable jit arguments).
+
+Mirrors the reference's constructor knobs and defaults exactly
+(reference: src/core/pose_estimator.py:19-65, src/pipeline.py:25-50):
+nfeatures=4000, scaleFactor=1.1, nlevels=12, fastThreshold=15,
+max_matches=500, RANSAC prob=0.999/threshold=1.0 px, VP gates 8e5/8e3.
+Static-shape knobs (max_kpts, num_hypotheses) are TPU additions
+(SURVEY.md §7: capped-size + validity-mask arrays replace dynamic shapes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class OrbConfig:
+    nfeatures: int = 4000
+    nlevels: int = 12
+    scale_factor: float = 1.1
+    fast_threshold: float = 15.0
+    max_kpts: int = 4096  # static keypoint slots (>= nfeatures)
+
+
+@dataclasses.dataclass(frozen=True)
+class SiftConfig:
+    nfeatures: int = 4000
+    noctaves: int = 4
+    scales_per_octave: int = 3
+    contrast_threshold: float = 0.04
+    edge_threshold: float = 10.0
+    sigma: float = 1.6
+    max_kpts: int = 4096
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    norm_type: str = "hamming"    # "hamming" | "l2"
+    cross_check: bool = True      # reference default; False -> Lowe ratio
+    ratio: float = 0.75           # used when cross_check is False
+    max_matches: int = 500        # reference pose_estimator.py:23
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacConfig:
+    num_hypotheses: int = 2048    # replaces prob=0.999 adaptive iteration
+    threshold_px: float = 1.0     # reference pose_estimator.py:526
+    refit_rounds: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class VpConfig:
+    """Vanishing-point refinement knobs (reference pose_estimator.py:26-32)."""
+    enabled: bool = False
+    max_lines: int = 120
+    max_pairs: int = 3000
+    acc_min: float = 8e5
+    vp2_min: float = 8000.0
+    iters: int = 12
+    lm_lambda: float = 1e-2
+    cost_improve_eps: float = 1e-3
+
+
+@dataclasses.dataclass(frozen=True)
+class EstimatorConfig:
+    feature_method: str = "ORB"   # "ORB" | "SIFT"
+    orb: OrbConfig = OrbConfig()
+    sift: SiftConfig = SiftConfig()
+    matcher: MatcherConfig = MatcherConfig()
+    ransac: RansacConfig = RansacConfig()
+    vp: VpConfig = VpConfig()

@@ -1,0 +1,134 @@
+"""FAST-9/16 corner detection + Harris response as dense vectorized maps.
+
+TPU-native equivalent of the FAST detector + Harris scoring inside OpenCV's
+ORB (reference: src/core/pose_estimator.py:84-91, fastThreshold=15,
+scoreType=ORB_HARRIS_SCORE). Instead of OpenCV's per-pixel branchy scan,
+the whole image is processed as 16 shifted planes on the VPU:
+
+  * circle test: bright/dark masks for all 16 Bresenham-circle neighbors;
+  * ">= 9 contiguous" via log-doubling AND of circularly shifted masks
+    (5 boolean ops instead of a 16x9 window scan);
+  * FAST score: max margin sum over the bright/dark arcs (used only for
+    3x3 nonmax suppression, as in OpenCV's two-stage retain);
+  * Harris: central-difference gradients + 7x7 box sums, k = 0.04
+    (OpenCV HarrisResponses uses blockSize 7) — final ranking score.
+
+Everything is branch-free elementwise math: XLA fuses the full stack into a
+couple of passes over the image.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pyramid import box_filter
+
+# Bresenham circle of radius 3 (OpenCV FAST-16 order, clockwise from 12
+# o'clock): (dx, dy) with y down.
+_CIRCLE = np.array([
+    (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+    (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+], dtype=np.int32)
+
+
+def _shifted_stack(img):
+    """(16, H, W): neighbor intensity planes. Border pixels wrap (jnp.roll);
+    callers mask a >= 3 px border so wrapped values never count."""
+    planes = [jnp.roll(img, (-dy, -dx), axis=(0, 1)) for dx, dy in _CIRCLE]
+    return jnp.stack(planes, axis=0)
+
+
+def _circular_run_ge9(b):
+    """b: (16, H, W) bool -> (H, W) bool: any circular run of >= 9 set bits.
+
+    S_m[k] = AND of b[k..k+m-1] built by log-doubling:
+    S_2 = b & rot(b,1); S_4 = S_2 & rot(S_2,2); S_8 = S_4 & rot(S_4,4);
+    S_9 = S_8 & rot(b,8); corner iff any k has S_9[k].
+    """
+    def rot(x, s):
+        return jnp.roll(x, -s, axis=0)
+
+    s2 = b & rot(b, 1)
+    s4 = s2 & rot(s2, 2)
+    s8 = s4 & rot(s4, 4)
+    s9 = s8 & rot(b, 8)
+    return jnp.any(s9, axis=0)
+
+
+def fast_score_map(img, threshold: float = 15.0):
+    """Dense FAST corner score map.
+
+    img: (H, W) float32. Returns (H, W) float32 — 0 where not a corner,
+    else the arc-margin score used for nonmax suppression (sum of
+    |diff| - t over the stronger of the bright/dark sets; OpenCV's
+    cornerScore is the same quantity maximized differently — only the
+    3x3-local ranking matters downstream).
+    """
+    nb = _shifted_stack(img)                    # (16, H, W)
+    diff = nb - img[None]
+    bright = diff > threshold
+    dark = diff < -threshold
+    is_corner = _circular_run_ge9(bright) | _circular_run_ge9(dark)
+    score_b = jnp.sum(jnp.where(bright, diff - threshold, 0.0), axis=0)
+    score_d = jnp.sum(jnp.where(dark, -diff - threshold, 0.0), axis=0)
+    score = jnp.maximum(score_b, score_d)
+    return jnp.where(is_corner, score, 0.0)
+
+
+def nonmax_suppress_3x3(score):
+    """Keep only 3x3-local maxima of a nonnegative score map."""
+    neg = -score
+    m = -jax.lax.reduce_window(
+        neg, jnp.inf, jax.lax.min, (3, 3), (1, 1), "SAME"
+    )
+    return jnp.where((score >= m) & (score > 0.0), score, 0.0)
+
+
+def harris_response_map(img, block_size: int = 7, k: float = 0.04):
+    """Dense Harris corner response (OpenCV ORB HarrisResponses semantics).
+
+    Central-difference gradients, block_size x block_size box sums of the
+    gradient products, R = det(M) - k * trace(M)^2. Absolute scaling differs
+    from OpenCV's fixed-point scale factor; ranking (all that is used) is
+    identical.
+    """
+    dx = (jnp.roll(img, -1, axis=1) - jnp.roll(img, 1, axis=1))
+    dy = (jnp.roll(img, -1, axis=0) - jnp.roll(img, 1, axis=0))
+    a = box_filter(dx * dx, block_size)
+    b = box_filter(dy * dy, block_size)
+    c = box_filter(dx * dy, block_size)
+    return (a * b - c * c) - k * (a + b) ** 2
+
+
+def border_mask(h: int, w: int, margin: int):
+    """(h, w) bool: True where a keypoint is allowed (static margins)."""
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    return (ys >= margin) & (ys < h - margin) & (xs >= margin) & (xs < w - margin)
+
+
+def detect_level(img, threshold: float, margin: int, quota: int):
+    """FAST + nonmax + Harris top-`quota` selection on one pyramid level.
+
+    Returns (xy, harris, valid):
+      xy:     (quota, 2) float32 (x, y) level-local pixel coords
+      harris: (quota,) float32 Harris responses (ranking score)
+      valid:  (quota,) bool
+    """
+    h, w = img.shape
+    score = fast_score_map(img, threshold)
+    score = jnp.where(border_mask(h, w, margin), score, 0.0)
+    score = nonmax_suppress_3x3(score)
+    harris = harris_response_map(img)
+
+    is_kpt = score > 0.0
+    # Rank surviving corners by Harris response (ORB_HARRIS_SCORE).
+    rank = jnp.where(is_kpt, harris, -jnp.inf).reshape(-1)
+    vals, flat_idx = jax.lax.top_k(rank, quota)
+    ys = (flat_idx // w).astype(jnp.float32)
+    xs = (flat_idx % w).astype(jnp.float32)
+    valid = vals > -jnp.inf
+    xy = jnp.stack([xs, ys], axis=-1)
+    return xy, vals, valid

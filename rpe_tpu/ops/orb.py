@@ -1,0 +1,204 @@
+"""ORB feature detection + description, TPU-first (pure JAX/XLA).
+
+Replaces `cv2.ORB_create(nfeatures, scaleFactor=1.1, nlevels=12,
+fastThreshold=15, scoreType=ORB_HARRIS_SCORE).detectAndCompute`
+(reference: src/core/pose_estimator.py:84-108) with a fixed-shape pipeline:
+
+  1. 12-level x1.1 bilinear pyramid (ops/pyramid.py);
+  2. per level: dense FAST-9 score -> 3x3 nonmax -> Harris ranking ->
+     top-(static quota) selection (ops/fast.py). Quotas follow OpenCV's
+     geometric per-level distribution of `nfeatures`;
+  3. 31x31 patch gather per keypoint; intensity-centroid orientation on the
+     unblurred level (IC_Angle semantics: circular mask of radius 15);
+  4. steered BRIEF: a fixed 256-pair Gaussian pattern (radius <= 13,
+     deterministic seed) rotated by the keypoint angle and sampled with
+     nearest-neighbor from the 7x7/sigma-2 blurred level, giving one bit per
+     pair. Bit-exactness with OpenCV's learned pattern is unattainable and
+     not required — the parity contract is pose-level (SURVEY.md §7).
+
+Outputs are static-size arrays (MAX_KPTS slots + validity mask) so the whole
+detect -> match -> RANSAC -> pose path jits into one XLA program per image
+shape.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pyramid import build_pyramid, gaussian_blur, level_shapes
+from .fast import detect_level
+
+PATCH_R = 15          # orientation circle radius (OpenCV HALF_PATCH_SIZE)
+PATCH = 2 * PATCH_R + 1
+PATTERN_R = 13        # max BRIEF pattern point radius (rotation-safe < 15)
+EDGE_MARGIN = 19      # keypoint exclusion border (OpenCV internal EDGE_THRESHOLD)
+
+
+def level_quotas(nfeatures: int, nlevels: int, scale_factor: float):
+    """OpenCV ORB's geometric per-level feature quota (static ints)."""
+    factor = 1.0 / scale_factor
+    ndesired0 = nfeatures * (1.0 - factor) / (1.0 - factor ** nlevels)
+    quotas, total = [], 0
+    for l in range(nlevels - 1):
+        q = int(round(ndesired0 * factor ** l))
+        quotas.append(q)
+        total += q
+    quotas.append(max(nfeatures - total, 0))
+    return quotas
+
+
+@functools.lru_cache(maxsize=None)
+def brief_pattern(n_pairs: int = 256, seed: int = 12345):
+    """Deterministic Gaussian BRIEF pattern: (n_pairs, 2, 2) int32 (x, y).
+
+    Points ~ N(0, (31/5)^2) clipped by rejection to radius <= PATTERN_R so
+    any rotation keeps samples inside the 31x31 patch. Fixed seed makes the
+    descriptor a stable format across processes/hosts.
+    """
+    rng = np.random.default_rng(seed)
+    pts = []
+    while len(pts) < n_pairs * 2:
+        cand = rng.normal(0.0, 31.0 / 5.0, size=(n_pairs * 4, 2))
+        cand = np.round(cand).astype(np.int32)
+        ok = (cand[:, 0] ** 2 + cand[:, 1] ** 2) <= PATTERN_R ** 2
+        pts.extend([tuple(p) for p in cand[ok]])
+    pts = np.array(pts[: n_pairs * 2], dtype=np.int32).reshape(n_pairs, 2, 2)
+    return pts
+
+
+@functools.lru_cache(maxsize=None)
+def _ic_angle_masks():
+    """Circular-region mask and (u, v) coordinate grids for IC_Angle.
+
+    OpenCV includes (u, v) iff |u| <= round(sqrt(225 - v^2)).
+    Returns numpy (NOT jnp) so the lru_cache never captures jit tracers.
+    """
+    vs, us = np.mgrid[-PATCH_R:PATCH_R + 1, -PATCH_R:PATCH_R + 1]
+    u_max = np.round(np.sqrt(np.maximum(PATCH_R ** 2 - vs ** 2, 0.0)))
+    mask = np.abs(us) <= u_max
+    return (
+        mask.astype(np.float32),
+        us.astype(np.float32),
+        vs.astype(np.float32),
+    )
+
+
+def gather_patches(img, xy):
+    """img (H, W), xy (K, 2) float (x, y) int-valued -> (K, PATCH, PATCH).
+
+    Keypoints are guaranteed >= EDGE_MARGIN > PATCH_R from the border, so no
+    bounds handling is needed; one fused XLA gather.
+    """
+    x0 = xy[:, 0].astype(jnp.int32) - PATCH_R
+    y0 = xy[:, 1].astype(jnp.int32) - PATCH_R
+    di = jnp.arange(PATCH)
+    rows = y0[:, None] + di[None, :]            # (K, PATCH)
+    cols = x0[:, None] + di[None, :]
+    return img[rows[:, :, None], cols[:, None, :]]
+
+
+def ic_angles(patches):
+    """Intensity-centroid orientation per patch: atan2(m01, m10), radians."""
+    mask_np, us_np, vs_np = _ic_angle_masks()
+    mask, us, vs = jnp.asarray(mask_np), jnp.asarray(us_np), jnp.asarray(vs_np)
+    w = patches * mask[None]
+    m10 = jnp.sum(w * us[None], axis=(1, 2))
+    m01 = jnp.sum(w * vs[None], axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
+def steered_brief(patches_blur, angles):
+    """Rotated-pattern BRIEF bits.
+
+    patches_blur: (K, PATCH, PATCH) from the Gaussian-blurred level.
+    angles: (K,) radians. Returns (K, 256) uint8 bits.
+    """
+    pat = jnp.asarray(brief_pattern(), dtype=jnp.float32)  # (256, 2, 2)
+    ca, sa = jnp.cos(angles), jnp.sin(angles)              # (K,)
+    px, py = pat[..., 0], pat[..., 1]                      # (256, 2)
+    # rotate: x' = x cos - y sin ; y' = x sin + y cos  (per keypoint)
+    rx = px[None] * ca[:, None, None] - py[None] * sa[:, None, None]
+    ry = px[None] * sa[:, None, None] + py[None] * ca[:, None, None]
+    ix = jnp.round(rx).astype(jnp.int32) + PATCH_R         # (K, 256, 2)
+    iy = jnp.round(ry).astype(jnp.int32) + PATCH_R
+    k_idx = jnp.arange(patches_blur.shape[0])[:, None, None]
+    vals = patches_blur[k_idx, iy, ix]                     # (K, 256, 2)
+    return (vals[..., 0] < vals[..., 1]).astype(jnp.uint8)
+
+
+def orb_detect_and_describe(
+    img,
+    nfeatures: int = 4000,
+    nlevels: int = 12,
+    scale_factor: float = 1.1,
+    fast_threshold: float = 15.0,
+    max_kpts: int = 4096,
+):
+    """Full ORB on one grayscale image (H, W) float32 [0, 255].
+
+    Returns dict of fixed-shape arrays:
+      xy:     (max_kpts, 2) float32 — (x, y) in level-0 pixel coords
+      angle:  (max_kpts,)  float32 — orientation, radians
+      level:  (max_kpts,)  int32
+      score:  (max_kpts,)  float32 — Harris response (ranking score)
+      bits:   (max_kpts, 256) uint8 — descriptor bits
+      valid:  (max_kpts,)  bool
+    """
+    quotas = level_quotas(nfeatures, nlevels, scale_factor)
+    levels = build_pyramid(img, nlevels, scale_factor)
+
+    xs, angs, lvls, scores, bits, valids = [], [], [], [], [], []
+    for l, (lvl_img, quota) in enumerate(zip(levels, quotas)):
+        if quota <= 0:
+            continue
+        h, w = lvl_img.shape
+        if h <= 2 * EDGE_MARGIN + 1 or w <= 2 * EDGE_MARGIN + 1:
+            continue
+        xy, harris, valid = detect_level(
+            lvl_img, fast_threshold, EDGE_MARGIN, quota
+        )
+        # Invalid slots hold flat-index 0 -> (0,0); clamp into the safe
+        # interior so patch gathers stay in bounds (they are masked out).
+        xy = jnp.where(valid[:, None], xy, jnp.float32(EDGE_MARGIN))
+        patches = gather_patches(lvl_img, xy)
+        ang = ic_angles(patches)
+        blurred = gaussian_blur(lvl_img)
+        patches_b = gather_patches(blurred, xy)
+        b = steered_brief(patches_b, ang)
+
+        scale = scale_factor ** l
+        xs.append(xy * scale)
+        angs.append(ang)
+        lvls.append(jnp.full((quota,), l, dtype=jnp.int32))
+        scores.append(harris)
+        bits.append(b)
+        valids.append(valid)
+
+    xy = jnp.concatenate(xs, axis=0)
+    angle = jnp.concatenate(angs, axis=0)
+    level = jnp.concatenate(lvls, axis=0)
+    score = jnp.concatenate(scores, axis=0)
+    desc = jnp.concatenate(bits, axis=0)
+    valid = jnp.concatenate(valids, axis=0)
+
+    n = xy.shape[0]
+    if n < max_kpts:
+        pad = max_kpts - n
+        xy = jnp.pad(xy, ((0, pad), (0, 0)))
+        angle = jnp.pad(angle, (0, pad))
+        level = jnp.pad(level, (0, pad))
+        score = jnp.pad(score, (0, pad))
+        desc = jnp.pad(desc, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, (0, pad))
+    else:
+        xy, angle, level = xy[:max_kpts], angle[:max_kpts], level[:max_kpts]
+        score, desc, valid = score[:max_kpts], desc[:max_kpts], valid[:max_kpts]
+
+    return {
+        "xy": xy, "angle": angle, "level": level,
+        "score": score, "bits": desc, "valid": valid,
+    }

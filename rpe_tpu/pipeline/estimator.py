@@ -1,0 +1,242 @@
+"""Fused relative-pose estimator: detect -> match -> RANSAC -> recoverPose.
+
+TPU-native re-design of the reference's `PoseEstimator.estimate`
+(reference: src/core/pose_estimator.py:487-569). The functional core
+`estimate_pair` is a single jit-compiled XLA program with static shapes and
+no host round-trips between stages; failures surface as a `valid=False`
+flag instead of exceptions so a degenerate pair cannot kill a sharded batch
+(SURVEY.md §5, failure-detection row). The `PoseEstimator` class preserves
+the reference's exception-raising single-pair API on top.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EstimatorConfig
+from ..geometry.epipolar import normalize_points
+from ..geometry.ransac import ransac_essential
+from ..geometry.recover_pose import recover_pose
+from ..ops.match import (
+    cross_check_match,
+    hamming_distance_matrix,
+    l2sq_distance_matrix,
+    ratio_test_match,
+)
+from ..ops.orb import orb_detect_and_describe
+
+
+def detect_features(img, cfg: EstimatorConfig):
+    """Feature detection dispatch (ORB now; SIFT via ops/sift.py)."""
+    if cfg.feature_method.upper() == "ORB":
+        o = cfg.orb
+        return orb_detect_and_describe(
+            img,
+            nfeatures=o.nfeatures,
+            nlevels=o.nlevels,
+            scale_factor=o.scale_factor,
+            fast_threshold=o.fast_threshold,
+            max_kpts=o.max_kpts,
+        )
+    if cfg.feature_method.upper() == "SIFT":
+        from ..ops.sift import sift_detect_and_describe
+
+        return sift_detect_and_describe(img, cfg.sift)
+    raise ValueError(f"Unknown feature extraction method: {cfg.feature_method}")
+
+
+def match_features(det1, det2, cfg: EstimatorConfig):
+    """Descriptor matching dispatch: one MXU distance matmul + selection."""
+    m = cfg.matcher
+    if m.norm_type.lower() == "hamming":
+        D = hamming_distance_matrix(det1["bits"], det2["bits"])
+    elif m.norm_type.lower() == "l2":
+        D = l2sq_distance_matrix(det1["desc"], det2["desc"])
+    else:
+        raise ValueError(f"Unknown norm type: {m.norm_type}")
+    if m.cross_check:
+        return cross_check_match(D, det1["valid"], det2["valid"],
+                                 max_matches=m.max_matches)
+    ratio = m.ratio if m.norm_type.lower() != "l2" else m.ratio ** 2
+    return ratio_test_match(D, det1["valid"], det2["valid"], ratio=ratio,
+                            max_matches=m.max_matches)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def estimate_pair(img1, img2, K, key, cfg: EstimatorConfig = EstimatorConfig()):
+    """One fused XLA program: images in, (R, t, diagnostics) out.
+
+    Args:
+      img1, img2: (H, W) float32 grayscale [0, 255].
+      K: (3, 3) float32 intrinsics.
+      key: PRNG key driving RANSAC sampling (deterministic per key —
+        unlike OpenCV's global-state RNG).
+      cfg: static EstimatorConfig.
+
+    Returns dict:
+      R (3,3), t (3,) unit, valid bool, num_matches, num_inliers,
+      cheirality_votes, pts1/pts2 (max_matches, 2), match_valid,
+      inlier_mask (max_matches,).
+    """
+    det1 = detect_features(img1, cfg)
+    det2 = detect_features(img2, cfg)
+    matches = match_features(det1, det2, cfg)
+
+    pts1 = jnp.take(det1["xy"], matches["idx1"], axis=0)  # (M, 2)
+    pts2 = jnp.take(det2["xy"], matches["idx2"], axis=0)
+    mvalid = matches["valid"]
+    num_matches = jnp.sum(mvalid.astype(jnp.int32))
+
+    n1 = normalize_points(pts1, K)
+    n2 = normalize_points(pts2, K)
+    # OpenCV findEssentialMat rescales the pixel threshold by the mean focal.
+    thr_n = cfg.ransac.threshold_px / (0.5 * (K[0, 0] + K[1, 1]))
+
+    r = ransac_essential(
+        key, n1, n2, mvalid, thr_n,
+        num_hypotheses=cfg.ransac.num_hypotheses,
+        refit_rounds=cfg.ransac.refit_rounds,
+    )
+    # recoverPose sees all matched points, as in the reference call
+    # cv2.recoverPose(E, pts1, pts2, K) (pose_estimator.py:533).
+    R, t, votes, _ = recover_pose(r["E"], n1, n2, mvalid)
+
+    valid = r["ok"] & (num_matches >= 5)
+    eye = jnp.eye(3, dtype=R.dtype)
+    R = jnp.where(valid, R, eye)
+    t = jnp.where(valid, t, jnp.array([0.0, 0.0, 1.0], dtype=t.dtype))
+    return {
+        "R": R,
+        "t": t,
+        "valid": valid,
+        "num_matches": num_matches,
+        "num_inliers": r["num_inliers"],
+        "cheirality_votes": votes,
+        "pts1": pts1,
+        "pts2": pts2,
+        "match_valid": mvalid,
+        "inlier_mask": r["inlier_mask"],
+    }
+
+
+class PoseEstimator:
+    """Reference-compatible single-pair API over the fused jit core.
+
+    Mirrors the reference constructor signature and error behavior
+    (src/core/pose_estimator.py:19-65, :487-569): RuntimeError on missing
+    descriptors / <5 matches / essential-matrix failure. VP refinement is
+    applied when `use_vp_refinement` and `R_prev` are given, matching the
+    gated fallback-accept semantics of pose_estimator.py:536-567.
+    """
+
+    def __init__(
+        self,
+        camera_matrix,
+        feature_method: str = "ORB",
+        norm_type: str = "Hamming",
+        max_matches: int = 500,
+        nfeatures: int = 4000,
+        use_vp_refinement: bool = False,
+        vp_max_lines: int = 120,
+        vp_max_pairs: int = 3000,
+        vp_acc_min: float = 8e5,
+        vp_vp2_min: float = 8000.0,
+        vp_iters: int = 12,
+        vp_lm_lambda: float = 1e-2,
+        vp_cost_improve_eps: float = 1e-3,
+        seed: int = 0,
+        config: EstimatorConfig | None = None,
+    ):
+        import dataclasses
+
+        if config is None:
+            config = EstimatorConfig()
+        config = dataclasses.replace(
+            config,
+            feature_method=feature_method,
+            orb=dataclasses.replace(config.orb, nfeatures=nfeatures),
+            matcher=dataclasses.replace(
+                config.matcher,
+                norm_type=norm_type.lower(),
+                max_matches=max_matches,
+            ),
+            vp=dataclasses.replace(
+                config.vp,
+                enabled=use_vp_refinement,
+                max_lines=vp_max_lines,
+                max_pairs=vp_max_pairs,
+                acc_min=vp_acc_min,
+                vp2_min=vp_vp2_min,
+                iters=vp_iters,
+                lm_lambda=vp_lm_lambda,
+                cost_improve_eps=vp_cost_improve_eps,
+            ),
+        )
+        if config.matcher.norm_type not in ("hamming", "l2"):
+            raise ValueError(f"Unknown norm type: {norm_type}")
+        if config.feature_method.upper() not in ("ORB", "SIFT"):
+            raise ValueError(
+                f"Unknown feature extraction method: {feature_method}")
+        self.K = np.asarray(camera_matrix, dtype=np.float32)
+        self.config = config
+        self._seed = seed
+        self._counter = 0
+
+    def _next_key(self):
+        key = jax.random.PRNGKey(self._seed + self._counter)
+        self._counter += 1
+        return key
+
+    def estimate(self, img1, img2, R_prev=None):
+        """Estimate relative pose; returns (R (3,3), t (3,1)) numpy arrays.
+
+        Raises RuntimeError on failure, mirroring reference
+        pose_estimator.py:508-530.
+        """
+        out = self.estimate_with_debug(img1, img2, R_prev)
+        return out["R"], out["t"]
+
+    def estimate_with_debug(self, img1, img2, R_prev=None):
+        """Reference estimate_with_debug analogue (pose_estimator.py:571-688)."""
+        i1 = jnp.asarray(np.asarray(img1), dtype=jnp.float32)
+        i2 = jnp.asarray(np.asarray(img2), dtype=jnp.float32)
+        out = estimate_pair(i1, i2, jnp.asarray(self.K), self._next_key(),
+                            cfg=self.config)
+        num_matches = int(out["num_matches"])
+        if num_matches < 5:
+            raise RuntimeError(
+                f"Insufficient matches: {num_matches} (minimum 5 required)")
+        if not bool(out["valid"]):
+            raise RuntimeError("Could not estimate Essential matrix.")
+
+        R_rel = np.asarray(out["R"], dtype=np.float64)
+        t = np.asarray(out["t"], dtype=np.float64).reshape(3, 1)
+
+        debug = {
+            "R": R_rel,
+            "t": t,
+            "num_matches": num_matches,
+            "pts1": np.asarray(out["pts1"])[np.asarray(out["match_valid"])],
+            "pts2": np.asarray(out["pts2"])[np.asarray(out["match_valid"])],
+            "inliers": int(out["cheirality_votes"]),
+            "vp_used": False,
+            "vp_debug": {},
+        }
+
+        if self.config.vp.enabled and R_prev is not None:
+            from ..geometry.vp_refine import refine_rotation_with_vps
+
+            R_ref, vp_used, vp_dbg = refine_rotation_with_vps(
+                np.asarray(img1), np.asarray(img2),
+                np.asarray(R_prev, dtype=np.float64), R_rel,
+                self.K, self.config.vp,
+            )
+            debug["vp_debug"] = vp_dbg
+            if vp_used:
+                debug["R"] = R_ref
+                debug["vp_used"] = True
+        return debug

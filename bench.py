@@ -1,0 +1,118 @@
+"""Throughput benchmark: image pairs/sec/chip on KITTI-sized frames.
+
+Runs the fused batched estimator (full default config: ORB-4000 x 12 levels,
+500 cross-checked matches, 2048-hypothesis RANSAC, cheirality recoverPose)
+on 1241x376 grayscale pairs — the BASELINE.json north-star configuration —
+on the default JAX platform (the real TPU chip under the driver).
+
+`vs_baseline` is measured against the CPU/OpenCV reference pipeline
+(cv2.ORB -> BFMatcher(crossCheck) -> findEssentialMat(RANSAC) -> recoverPose,
+the exact call chain of reference src/core/pose_estimator.py:487-533) timed
+on the same frames on this host.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+H, W = 376, 1241  # KITTI camera geometry
+BATCH = 8
+ITERS = 4
+
+
+def _load_frames():
+    """Real image content scaled to KITTI size (texture statistics matter)."""
+    from PIL import Image
+
+    p1 = "/root/reference/evaluation-runs/single-pair/images/000000.png"
+    p2 = "/root/reference/evaluation-runs/single-pair/images/000015.png"
+    a = Image.open(p1).convert("L").resize((W, H), Image.BILINEAR)
+    b = Image.open(p2).convert("L").resize((W, H), Image.BILINEAR)
+    return np.asarray(a, np.float32), np.asarray(b, np.float32)
+
+
+def _camera():
+    # KITTI seq 00 intrinsics
+    return np.array([[718.856, 0.0, 607.1928],
+                     [0.0, 718.856, 185.2157],
+                     [0.0, 0.0, 1.0]], dtype=np.float32)
+
+
+def bench_tpu(img1, img2, K):
+    import jax
+    import jax.numpy as jnp
+
+    from rpe_tpu.pipeline.estimator import estimate_pairs_batched
+
+    imgs1 = jnp.asarray(np.stack([img1] * BATCH))
+    imgs2 = jnp.asarray(np.stack([img2] * BATCH))
+    Kj = jnp.asarray(K)
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(BATCH, dtype=jnp.uint32))
+
+    out = estimate_pairs_batched(imgs1, imgs2, Kj, keys)  # compile + warmup
+    jax.block_until_ready(out["R"])
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        keys = jax.vmap(jax.random.PRNGKey)(
+            jnp.arange(i * BATCH, (i + 1) * BATCH, dtype=jnp.uint32))
+        out = estimate_pairs_batched(imgs1, imgs2, Kj, keys)
+    jax.block_until_ready(out["R"])
+    dt = time.perf_counter() - t0
+    return BATCH * ITERS / dt, out
+
+
+def bench_opencv(img1, img2, K, reps=3):
+    import cv2
+
+    a = img1.astype(np.uint8)
+    b = img2.astype(np.uint8)
+    orb = cv2.ORB_create(nfeatures=4000, scaleFactor=1.1, nlevels=12,
+                         fastThreshold=15, scoreType=cv2.ORB_HARRIS_SCORE)
+    bf = cv2.BFMatcher(cv2.NORM_HAMMING, crossCheck=True)
+
+    def once():
+        kp1, d1 = orb.detectAndCompute(a, None)
+        kp2, d2 = orb.detectAndCompute(b, None)
+        ms = sorted(bf.match(d1, d2), key=lambda m: m.distance)[:500]
+        p1 = np.float32([kp1[m.queryIdx].pt for m in ms])
+        p2 = np.float32([kp2[m.trainIdx].pt for m in ms])
+        E, _ = cv2.findEssentialMat(p1, p2, K, method=cv2.RANSAC,
+                                    prob=0.999, threshold=1.0)
+        return cv2.recoverPose(E, p1, p2, K)
+
+    once()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        once()
+    return reps / (time.perf_counter() - t0)
+
+
+def main():
+    img1, img2, K = (*_load_frames(), _camera())
+    tpu_pps, out = bench_tpu(img1, img2, K)
+    try:
+        cv_pps = bench_opencv(img1, img2, K)
+    except Exception as e:  # benchmark must still emit its line
+        print(f"[bench] opencv baseline failed: {e}", file=sys.stderr)
+        cv_pps = float("nan")
+
+    result = {
+        "metric": "image pairs/sec/chip (KITTI-size 1241x376, ORB4000 "
+                  "full pipeline)",
+        "value": round(tpu_pps, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(tpu_pps / cv_pps, 3) if cv_pps == cv_pps else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

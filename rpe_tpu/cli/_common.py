@@ -1,0 +1,59 @@
+"""Shared CLI plumbing for the dataset runners.
+
+Datasets ship with the reference checkout (read-only at /root/reference in
+this environment); results are written under the local repo. Override with
+--data-root / RPE_DATA_ROOT and --results-dir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+
+
+def default_data_root() -> str:
+    root = os.environ.get("RPE_DATA_ROOT")
+    if root:
+        return root
+    if Path("/root/reference/evaluation-runs").exists():
+        return "/root/reference"
+    return "."
+
+
+def sequence_parser(description: str, default_step: int,
+                    default_fps: int) -> argparse.ArgumentParser:
+    """argparse flags mirroring the reference runners
+    (run_phone_data.py:13-19 etc.) plus data-root/results overrides."""
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--step", type=int, default=default_step,
+                   help=f"Frame step interval (default: {default_step})")
+    p.add_argument("--no-plot", action="store_true",
+                   help="Skip plot generation")
+    p.add_argument("--no-video", action="store_true",
+                   help="Skip video generation")
+    p.add_argument("--video-fps", type=int, default=default_fps,
+                   help=f"Video FPS (default: {default_fps})")
+    p.add_argument("--data-root", default=default_data_root(),
+                   help="Root containing evaluation-runs/ (default: "
+                        "reference checkout)")
+    p.add_argument("--results-dir", default=None,
+                   help="Results directory (default: local "
+                        "evaluation-runs/<dataset>/results)")
+    p.add_argument("--chunk", type=int, default=8,
+                   help="Pairs per compiled dispatch (static batch size)")
+    p.add_argument("--devices", type=int, default=0,
+                   help="Shard pairs over this many devices (0 = no mesh)")
+    return p
+
+
+def make_mesh(n_devices: int):
+    if n_devices <= 0:
+        return None
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()[:n_devices]
+    import numpy as np
+
+    return Mesh(np.array(devs), ("pairs",))

@@ -1,0 +1,48 @@
+"""Simulator-data pipeline runner (reference: src/run_simulator_data.py).
+
+Usage:
+    python -m rpe_tpu.cli.run_simulator_data [--step STEP] [--no-plot]
+        [--no-video] [--video-fps FPS]
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from .._compat import ensure_platform
+from ._common import make_mesh, sequence_parser
+
+
+def main(argv=None):
+    args = sequence_parser("Simulator Data Pose Estimation Pipeline",
+                           default_step=15, default_fps=10).parse_args(argv)
+    ensure_platform()
+
+    from ..pipeline.orchestrator import PoseEstimationPipeline
+
+    results_dir = args.results_dir or "evaluation-runs/simulator-data/results"
+    pipeline = PoseEstimationPipeline(
+        data_dir=Path(args.data_root) / "evaluation-runs/simulator-data/data",
+        gt_filename="camera_poses.txt",
+        calibration_file=None,  # scaled default intrinsics
+        results_dir=results_dir,
+        feature_method="ORB",
+        norm_type="Hamming",
+        max_matches=500,
+        euler_convention="yup",  # simulator uses YUP convention
+        mesh=make_mesh(args.devices),
+        chunk=args.chunk,
+    )
+    pipeline.setup()
+    results = pipeline.run(
+        step=args.step,
+        create_plot=not args.no_plot,
+        create_video=not args.no_video,
+        video_fps=args.video_fps,
+    )
+    print(f"\n[INFO] Pipeline completed. Results saved to {results_dir}/")
+    return results
+
+
+if __name__ == "__main__":
+    main()

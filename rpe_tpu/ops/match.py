@@ -29,7 +29,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-_BIG = jnp.float32(3.0e38)
+# plain Python float (a module-level jnp array would initialize the default
+# backend at import time, before callers can select a platform)
+_BIG = 3.0e38
 
 
 def unpack_descriptor_bits(packed):

@@ -1,0 +1,159 @@
+"""Batched sequence processing over image pairs (reference:
+src/core/batch_processor.py).
+
+The reference walks consecutive frame pairs in a sequential Python loop,
+re-anchoring each pair to the ground-truth orientation of its first frame
+(batch_processor.py:71-109) — pairs are therefore independent, and the loop
+becomes a *batch axis*: images are stacked once, pairs are estimated in
+device-resident chunks via a vmapped fused estimator, and (optionally)
+sharded across a 1-D device mesh (SURVEY.md §2.3, pair-level DP).
+
+Semantics preserved exactly: GT anchoring (R_prev from GT of frame1), world
+composition R_new = R_prev @ R_rel, Euler conversion per the configured
+convention, identical result-dict schema. Failure semantics are *stronger*
+than the reference: a degenerate pair yields valid=False + identity relative
+rotation instead of aborting the run (SURVEY.md §5, failure-detection row);
+pass strict=True for reference-style RuntimeError.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.rotations import euler_to_rotation, rotation_to_euler
+from ..io.image_loader import load_image_batch
+from .estimator import estimate_pairs_batched
+
+
+class BatchProcessor:
+    """Sequence-pair trajectory processor (API mirror of the reference).
+
+    Extra knobs vs the reference:
+      chunk: static pairs-per-dispatch (compiled once, reused; pad last).
+      mesh:  optional jax.sharding.Mesh with a 'pairs' axis to shard chunks
+             across devices.
+      strict: reference-style abort on any failed pair.
+    """
+
+    def __init__(self, images_dir, pose_estimator, ground_truth_loader,
+                 euler_convention: str = "yup", chunk: int = 8,
+                 mesh=None, strict: bool = False, seed: int = 0):
+        self.images_dir = Path(images_dir)
+        self.pose_estimator = pose_estimator
+        self.gt_loader = ground_truth_loader
+        self.euler_convention = euler_convention
+        self.chunk = chunk
+        self.mesh = mesh
+        self.strict = strict
+        self.seed = seed
+
+    def get_image_path(self, frame_idx):
+        """{idx:06d}.png path (reference batch_processor.py:131-141)."""
+        return self.images_dir / f"{frame_idx:06d}.png"
+
+    def _estimate_all_pairs(self, frames, imgs):
+        """Estimate every consecutive pair; returns per-pair arrays."""
+        n_pairs = len(frames) - 1
+
+        K = jnp.asarray(self.pose_estimator.K, dtype=jnp.float32)
+        cfg = self.pose_estimator.config
+        chunk = min(self.chunk, n_pairs)
+        if self.mesh is not None:
+            n_dev = self.mesh.devices.size
+            chunk = max(chunk // n_dev, 1) * n_dev
+
+        shard = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard = NamedSharding(self.mesh, P("pairs"))
+
+        R_out = np.zeros((n_pairs, 3, 3), dtype=np.float64)
+        t_out = np.zeros((n_pairs, 3), dtype=np.float64)
+        valid_out = np.zeros((n_pairs,), dtype=bool)
+        nm_out = np.zeros((n_pairs,), dtype=np.int64)
+
+        for start in range(0, n_pairs, chunk):
+            end = min(start + chunk, n_pairs)
+            idx = list(range(start, end))
+            pad = chunk - len(idx)
+            sel1 = idx + [idx[-1]] * pad
+            sel2 = [i + 1 for i in sel1]
+            i1 = jnp.asarray(imgs[sel1])
+            i2 = jnp.asarray(imgs[sel2])
+            keys = jax.vmap(jax.random.PRNGKey)(
+                jnp.asarray([self.seed + s for s in sel1], dtype=jnp.uint32))
+            if shard is not None:
+                i1 = jax.device_put(i1, shard)
+                i2 = jax.device_put(i2, shard)
+                keys = jax.device_put(keys, shard)
+            out = estimate_pairs_batched(i1, i2, K, keys, cfg=cfg)
+            n = len(idx)
+            R_out[start:end] = np.asarray(out["R"])[:n]
+            t_out[start:end] = np.asarray(out["t"])[:n]
+            valid_out[start:end] = np.asarray(out["valid"])[:n]
+            nm_out[start:end] = np.asarray(out["num_matches"])[:n]
+        return R_out, t_out, valid_out, nm_out
+
+    def process_sequence(self, frame_indices):
+        """Reference process_sequence semantics (batch_processor.py:38-116).
+
+        Returns dict: frames, roll, pitch, yaw (np arrays), R (list of world
+        rotations), t (list of (3,1) directions), valid (np bool array).
+        """
+        frames = list(frame_indices)
+        if len(frames) < 2:
+            raise ValueError("Need at least 2 frames to process")
+
+        paths = [str(self.get_image_path(f)) for f in frames]
+        imgs = load_image_batch(paths, to_gray=True).astype(np.float32)
+
+        R_rel, t_rel, valid, num_matches = self._estimate_all_pairs(frames, imgs)
+        if self.strict and not valid.all():
+            bad = frames[int(np.argmin(valid)) + 1]
+            raise RuntimeError(
+                f"Pose estimation failed for pair ending at frame {bad}")
+
+        # GT anchor: orientation of each pair's first frame
+        # (batch_processor.py:82-89).
+        _, rpy1 = self.gt_loader.poses_for_frames(frames[:-1])
+        R_prev = np.asarray(euler_to_rotation(
+            rpy1[:, 2], rpy1[:, 1], rpy1[:, 0],
+            convention=self.euler_convention))  # (N, 3, 3)
+
+        # VP (Manhattan) refinement per pair, GT-anchored like the reference
+        # batch loop (estimate(img1, img2, R_prev=R_prev_world),
+        # batch_processor.py:92). Gated + rare; host/JAX hybrid path.
+        cfg = self.pose_estimator.config
+        if cfg.vp.enabled:
+            from ..geometry.vp_refine import refine_rotation_with_vps
+
+            K = np.asarray(self.pose_estimator.K, dtype=np.float64)
+            for i in range(len(frames) - 1):
+                if not valid[i]:
+                    continue
+                R_rel[i], _, _ = refine_rotation_with_vps(
+                    imgs[i], imgs[i + 1], R_prev[i], R_rel[i], K, cfg.vp)
+        R_world = R_prev @ R_rel  # (N, 3, 3)
+        yaw, pitch, roll = (np.asarray(a) for a in rotation_to_euler(
+            R_world, convention=self.euler_convention))
+
+        return {
+            "frames": frames[1:],
+            "roll": np.asarray(roll),
+            "pitch": np.asarray(pitch),
+            "yaw": np.asarray(yaw),
+            "R": [R_world[i] for i in range(R_world.shape[0])],
+            "t": [t_rel[i].reshape(3, 1) for i in range(t_rel.shape[0])],
+            "valid": valid,
+            "num_matches": num_matches,
+        }
+
+    def process_at_interval(self, step: int = 15):
+        """Frames at the given interval (reference batch_processor.py:118-129)."""
+        frame_indices = self.gt_loader.get_frame_indices(step=step)
+        return self.process_sequence(frame_indices)

@@ -66,8 +66,7 @@ def match_features(det1, det2, cfg: EstimatorConfig):
                             max_matches=m.max_matches)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def estimate_pair(img1, img2, K, key, cfg: EstimatorConfig = EstimatorConfig()):
+def _estimate_pair_impl(img1, img2, K, key, cfg: EstimatorConfig):
     """One fused XLA program: images in, (R, t, diagnostics) out.
 
     Args:
@@ -91,19 +90,24 @@ def estimate_pair(img1, img2, K, key, cfg: EstimatorConfig = EstimatorConfig()):
     mvalid = matches["valid"]
     num_matches = jnp.sum(mvalid.astype(jnp.int32))
 
-    n1 = normalize_points(pts1, K)
-    n2 = normalize_points(pts2, K)
-    # OpenCV findEssentialMat rescales the pixel threshold by the mean focal.
-    thr_n = cfg.ransac.threshold_px / (0.5 * (K[0, 0] + K[1, 1]))
+    # Small-matrix geometry must NOT run at the TPU's default (bf16-pass)
+    # matmul precision: 3x3/9x9 products at ~1e-3 rounding destroy rotation
+    # orthonormality. Cost is negligible at these shapes.
+    with jax.default_matmul_precision("highest"):
+        n1 = normalize_points(pts1, K)
+        n2 = normalize_points(pts2, K)
+        # OpenCV findEssentialMat rescales the pixel threshold by the mean
+        # focal.
+        thr_n = cfg.ransac.threshold_px / (0.5 * (K[0, 0] + K[1, 1]))
 
-    r = ransac_essential(
-        key, n1, n2, mvalid, thr_n,
-        num_hypotheses=cfg.ransac.num_hypotheses,
-        refit_rounds=cfg.ransac.refit_rounds,
-    )
-    # recoverPose sees all matched points, as in the reference call
-    # cv2.recoverPose(E, pts1, pts2, K) (pose_estimator.py:533).
-    R, t, votes, _ = recover_pose(r["E"], n1, n2, mvalid)
+        r = ransac_essential(
+            key, n1, n2, mvalid, thr_n,
+            num_hypotheses=cfg.ransac.num_hypotheses,
+            refit_rounds=cfg.ransac.refit_rounds,
+        )
+        # recoverPose sees all matched points, as in the reference call
+        # cv2.recoverPose(E, pts1, pts2, K) (pose_estimator.py:533).
+        R, t, votes, _ = recover_pose(r["E"], n1, n2, mvalid)
 
     valid = r["ok"] & (num_matches >= 5)
     eye = jnp.eye(3, dtype=R.dtype)
@@ -121,6 +125,28 @@ def estimate_pair(img1, img2, K, key, cfg: EstimatorConfig = EstimatorConfig()):
         "match_valid": mvalid,
         "inlier_mask": r["inlier_mask"],
     }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def estimate_pair(img1, img2, K, key, cfg: EstimatorConfig = EstimatorConfig()):
+    return _estimate_pair_impl(img1, img2, K, key, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def estimate_pairs_batched(imgs1, imgs2, K, keys,
+                           cfg: EstimatorConfig = EstimatorConfig()):
+    """Batched pair estimation: (B, H, W) x2 -> per-pair pose dict.
+
+    vmap over the pair axis — the TPU analogue of the reference's sequential
+    frame loop (batch_processor.py:71). With a mesh, shard the leading axis
+    (see parallel/mesh.py); pairs are embarrassingly parallel (SURVEY.md
+    §2.3).
+    """
+    fn = jax.vmap(
+        lambda a, b, k: _estimate_pair_impl(a, b, K, k, cfg),
+        in_axes=(0, 0, 0),
+    )
+    return fn(imgs1, imgs2, keys)
 
 
 class PoseEstimator:

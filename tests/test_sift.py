@@ -1,0 +1,77 @@
+"""SIFT detection/description vs OpenCV oracle + end-to-end pose parity
+(BASELINE.json config #2: SIFT DoG pyramid + L2 matching)."""
+
+import cv2
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rpe_tpu.config import SiftConfig
+from rpe_tpu.ops.sift import sift_detect_and_describe
+from rpe_tpu.pipeline.estimator import PoseEstimator
+from rpe_tpu.geometry import rotation_error
+
+P1 = "/root/reference/evaluation-runs/single-pair/images/000000.png"
+P2 = "/root/reference/evaluation-runs/single-pair/images/000015.png"
+
+
+@pytest.fixture(scope="module")
+def pair():
+    img1 = cv2.imread(P1, cv2.IMREAD_GRAYSCALE)
+    img2 = cv2.imread(P2, cv2.IMREAD_GRAYSCALE)
+    h, w = img1.shape
+    K = np.array([
+        [924.82939686 * w / 960, 0, 468.24930789 * w / 960],
+        [0, 920.4766382 * h / 720, 353.65863024 * h / 720],
+        [0, 0, 1.0]])
+    return img1, img2, K
+
+
+def test_sift_keypoints_agree_with_opencv(pair):
+    img1, _, _ = pair
+    out = sift_detect_and_describe(jnp.asarray(img1, jnp.float32),
+                                   SiftConfig(max_kpts=2048))
+    v = np.asarray(out["valid"])
+    xy = np.asarray(out["xy"])[v]
+    assert v.sum() > 100
+
+    kps = cv2.SIFT_create().detect(img1, None)
+    cvxy = np.array([k.pt for k in kps])
+    from scipy.spatial import cKDTree
+
+    d, _ = cKDTree(xy).query(cvxy, k=1)
+    frac2 = (d < 2.0).mean()
+    assert frac2 > 0.75, f"only {frac2:.2f} of OpenCV SIFT kps reproduced"
+
+
+def test_sift_descriptor_normalization(pair):
+    img1, _, _ = pair
+    out = sift_detect_and_describe(jnp.asarray(img1, jnp.float32),
+                                   SiftConfig(max_kpts=1024))
+    v = np.asarray(out["valid"])
+    desc = np.asarray(out["desc"])[v]
+    norms = np.linalg.norm(desc, axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+    assert (desc >= 0).all()
+    assert desc.max() <= 0.2 / 0.19  # clipped at 0.2 then renormalized
+
+
+def test_sift_pose_parity_vs_opencv(pair):
+    img1, img2, K = pair
+    sift = cv2.SIFT_create()
+    kp1, d1 = sift.detectAndCompute(img1, None)
+    kp2, d2 = sift.detectAndCompute(img2, None)
+    bf = cv2.BFMatcher(cv2.NORM_L2, crossCheck=True)
+    ms = sorted(bf.match(d1, d2), key=lambda m: m.distance)[:500]
+    p1 = np.float32([kp1[m.queryIdx].pt for m in ms])
+    p2 = np.float32([kp2[m.trainIdx].pt for m in ms])
+    E, _ = cv2.findEssentialMat(p1, p2, K, method=cv2.RANSAC,
+                                prob=0.999, threshold=1.0)
+    _, R_cv, t_cv, _ = cv2.recoverPose(E, p1, p2, K)
+
+    est = PoseEstimator(K, feature_method="SIFT", norm_type="L2")
+    dbg = est.estimate_with_debug(img1, img2)
+    assert dbg["num_matches"] >= 50
+    delta = float(rotation_error(jnp.asarray(dbg["R"]), jnp.asarray(R_cv)))
+    # ~110 matches -> RANSAC noise floor is higher than the ORB case
+    assert delta < 1.5, f"SIFT pose delta vs OpenCV: {delta:.3f} deg"

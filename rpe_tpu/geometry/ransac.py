@@ -34,18 +34,24 @@ _EPS = 1e-12
 
 
 def sample_minimal_indices(key, valid_mask, num_hypotheses, sample_size=8):
-    """Uniform random `sample_size`-subsets of the valid correspondences.
+    """Uniform random `sample_size`-draws from the valid correspondences.
 
-    valid_mask: (N,) bool. Returns (H, S) int32 indices. Implemented as
-    top-k over iid uniform keys (invalid entries get -inf), which yields a
-    uniform random subset per hypothesis with no rejection loop — the
-    TPU-friendly equivalent of OpenCV's distinct-index sampler.
+    valid_mask: (N,) bool. Returns (H, S) int32 indices. Valid indices are
+    compacted to the front (one stable small sort), then each slot draws
+    i.i.d. uniform over [0, num_valid). Within-sample duplicates are
+    possible but rare (~6% of hypotheses at S=8, N=500) and merely waste
+    that hypothesis — the TPU-friendly trade against a per-hypothesis
+    rejection loop (OpenCV retries; we oversample hypotheses instead,
+    SURVEY.md §7).
     """
     n = valid_mask.shape[0]
-    keys = jax.random.uniform(key, (num_hypotheses, n))
-    keys = jnp.where(valid_mask[None, :], keys, -jnp.inf)
-    _, idx = jax.lax.top_k(keys, sample_size)
-    return idx
+    # stable partition: valid indices first
+    order = jnp.argsort(jnp.logical_not(valid_mask), stable=True)
+    num_valid = jnp.sum(valid_mask.astype(jnp.int32))
+    u = jax.random.uniform(key, (num_hypotheses, sample_size))
+    slot = jnp.minimum((u * num_valid).astype(jnp.int32),
+                       jnp.maximum(num_valid - 1, 0))
+    return jnp.take(order, slot)
 
 
 def _gather_sample(pts, idx):

@@ -125,8 +125,11 @@ def detect_level(img, threshold: float, margin: int, quota: int):
 
     is_kpt = score > 0.0
     # Rank surviving corners by Harris response (ORB_HARRIS_SCORE).
+    # approx_max_k uses the TPU's hardware-accelerated partial-reduce
+    # top-k (recall ~0.95); which marginal corners make the cut is
+    # immaterial, and exact top_k over H*W is a major serial bottleneck.
     rank = jnp.where(is_kpt, harris, -jnp.inf).reshape(-1)
-    vals, flat_idx = jax.lax.top_k(rank, quota)
+    vals, flat_idx = jax.lax.approx_max_k(rank, quota)
     ys = (flat_idx // w).astype(jnp.float32)
     xs = (flat_idx % w).astype(jnp.float32)
     valid = vals > -jnp.inf

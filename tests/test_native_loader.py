@@ -1,0 +1,61 @@
+"""Native C++ batched PNG decoder vs the PIL oracle (bit-identical)."""
+
+import glob
+
+import numpy as np
+import pytest
+
+from rpe_tpu.io.image_loader import load_image, load_image_batch
+
+SIM_IMAGES = sorted(glob.glob(
+    "/root/reference/evaluation-runs/simulator-data/data/images/*.png"))[:8]
+PHONE_IMAGES = sorted(glob.glob(
+    "/root/reference/evaluation-runs/phone-data/data/images/*.png"))[:3]
+
+
+@pytest.fixture(scope="module")
+def native():
+    from rpe_tpu.io import native as native_mod
+
+    try:
+        native_mod._load()
+    except Exception as e:  # pragma: no cover - build env issue
+        pytest.skip(f"native loader unavailable: {e}")
+    return native_mod
+
+
+def test_native_gray_bit_identical_to_pil(native):
+    batch = native.decode_batch(SIM_IMAGES, to_gray=True)
+    ref = np.stack([load_image(p, to_gray=True) for p in SIM_IMAGES])
+    assert batch.dtype == np.uint8
+    np.testing.assert_array_equal(batch, ref)
+
+
+def test_native_color_bgr_identical_to_pil(native):
+    batch = native.decode_batch(SIM_IMAGES[:2], to_gray=False)
+    ref = np.stack([load_image(p, to_gray=False) for p in SIM_IMAGES[:2]])
+    np.testing.assert_array_equal(batch, ref)
+
+
+def test_native_rejects_jpeg_disguised_as_png(native):
+    # phone-data ships JPEGs with .png extensions; the native loader must
+    # refuse them so load_image_batch falls back to PIL
+    with pytest.raises(RuntimeError):
+        native.decode_batch(PHONE_IMAGES, to_gray=True)
+
+
+def test_load_image_batch_falls_back_for_jpeg():
+    batch = load_image_batch(PHONE_IMAGES, to_gray=True)
+    ref = np.stack([load_image(p, to_gray=True) for p in PHONE_IMAGES])
+    np.testing.assert_array_equal(batch, ref)
+
+
+def test_native_missing_file(native):
+    with pytest.raises((FileNotFoundError, RuntimeError)):
+        native.decode_batch(["/definitely/not/here.png"])
+
+
+def test_batch_uses_native_for_png():
+    batch = load_image_batch(SIM_IMAGES, to_gray=True)
+    ref = np.stack([load_image(p) for p in SIM_IMAGES])
+    np.testing.assert_array_equal(batch, ref)

@@ -59,7 +59,8 @@ def _gather_sample(pts, idx):
     return jnp.take(pts, idx, axis=0)
 
 
-@partial(jax.jit, static_argnames=("num_hypotheses", "refit_rounds"))
+@partial(jax.jit,
+         static_argnames=("num_hypotheses", "refit_rounds", "solver"))
 def ransac_essential(
     key,
     pts1_n,
@@ -68,6 +69,7 @@ def ransac_essential(
     threshold_n,
     num_hypotheses: int = 2048,
     refit_rounds: int = 2,
+    solver: str = "8pt",
 ):
     """Batched-hypothesis essential matrix RANSAC.
 
@@ -90,17 +92,33 @@ def ransac_essential(
     n = pts1_n.shape[0]
     num_valid = jnp.sum(valid_mask.astype(jnp.int32))
 
-    idx = sample_minimal_indices(key, valid_mask, num_hypotheses)  # (H, 8)
-    s1 = _gather_sample(pts1_n, idx)  # (H, 8, 2)
-    s2 = _gather_sample(pts2_n, idx)
+    if solver == "5pt":
+        # Nister minimal solver: up to 10 essential candidates per sample;
+        # flatten (H, 10) into one hypothesis axis.
+        from .five_point import five_point_essential
 
-    E_h = eight_point(s1, s2)                       # (H, 3, 3)
+        idx = sample_minimal_indices(key, valid_mask, num_hypotheses,
+                                     sample_size=5)
+        s1 = _gather_sample(pts1_n, idx)            # (H, 5, 2)
+        s2 = _gather_sample(pts2_n, idx)
+        E_r, root_ok = five_point_essential(s1, s2)  # (H, 10, 3, 3)
+        E_h = E_r.reshape(-1, 3, 3)
+        hyp_ok = root_ok.reshape(-1)
+    else:
+        idx = sample_minimal_indices(key, valid_mask, num_hypotheses)
+        s1 = _gather_sample(pts1_n, idx)            # (H, 8, 2)
+        s2 = _gather_sample(pts2_n, idx)
+        E_h = eight_point(s1, s2)                   # (H, 3, 3)
+        hyp_ok = jnp.ones(E_h.shape[0], dtype=bool)
+
     E_h, _, _ = project_to_essential(E_h)           # rank-2 projection
 
-    # Fused scoring: (H, N) Sampson residuals in one shot.
+    # Fused scoring: (H, N) Sampson residuals in one shot. Defensive NaN
+    # handling: a non-finite residual counts as a miss at full loss.
     d2 = sampson_error_sq(E_h, pts1_n[None], pts2_n[None])  # (H, N)
     thr2 = threshold_n * threshold_n
-    inliers_h = (d2 < thr2) & valid_mask[None, :]
+    d2 = jnp.where(jnp.isfinite(d2), d2, thr2)
+    inliers_h = (d2 < thr2) & valid_mask[None, :] & hyp_ok[:, None]
     counts = jnp.sum(inliers_h.astype(jnp.int32), axis=-1)  # (H,)
 
     # MSAC-style tie-break: among equal counts prefer lower truncated loss.

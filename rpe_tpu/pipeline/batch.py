@@ -41,7 +41,8 @@ class BatchProcessor:
 
     def __init__(self, images_dir, pose_estimator, ground_truth_loader,
                  euler_convention: str = "yup", chunk: int = 8,
-                 mesh=None, strict: bool = False, seed: int = 0):
+                 mesh=None, strict: bool = False, seed: int = 0,
+                 checkpoint_path=None):
         self.images_dir = Path(images_dir)
         self.pose_estimator = pose_estimator
         self.gt_loader = ground_truth_loader
@@ -50,6 +51,10 @@ class BatchProcessor:
         self.mesh = mesh
         self.strict = strict
         self.seed = seed
+        # Chunked checkpoint/resume (SURVEY.md §5 checkpoint row): per-pair
+        # results appended as jsonl after every chunk; a restarted run skips
+        # already-computed pairs. The reference recomputes everything.
+        self.checkpoint_path = Path(checkpoint_path) if checkpoint_path else None
 
     def get_image_path(self, frame_idx):
         """{idx:06d}.png path (reference batch_processor.py:131-141)."""
@@ -77,8 +82,12 @@ class BatchProcessor:
         valid_out = np.zeros((n_pairs,), dtype=bool)
         nm_out = np.zeros((n_pairs,), dtype=np.int64)
 
+        done = self._load_checkpoint(frames, R_out, t_out, valid_out, nm_out)
+
         for start in range(0, n_pairs, chunk):
             end = min(start + chunk, n_pairs)
+            if all(i in done for i in range(start, end)):
+                continue
             idx = list(range(start, end))
             pad = chunk - len(idx)
             sel1 = idx + [idx[-1]] * pad
@@ -97,7 +106,55 @@ class BatchProcessor:
             t_out[start:end] = np.asarray(out["t"])[:n]
             valid_out[start:end] = np.asarray(out["valid"])[:n]
             nm_out[start:end] = np.asarray(out["num_matches"])[:n]
+            self._append_checkpoint(frames, range(start, end),
+                                    R_out, t_out, valid_out, nm_out)
         return R_out, t_out, valid_out, nm_out
+
+    def _load_checkpoint(self, frames, R_out, t_out, valid_out, nm_out):
+        """Restore completed pairs from the jsonl checkpoint; returns the set
+        of completed pair indices. Entries whose frame list does not match
+        are ignored (stale checkpoints from a different run config)."""
+        import json
+
+        done = set()
+        if self.checkpoint_path is None or not self.checkpoint_path.exists():
+            return done
+        n_pairs = len(frames) - 1
+        for line in self.checkpoint_path.read_text().splitlines():
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            i = rec.get("pair", -1)
+            if not (0 <= i < n_pairs) or rec.get("frame2") != frames[i + 1]:
+                continue
+            R_out[i] = np.array(rec["R"]).reshape(3, 3)
+            t_out[i] = np.array(rec["t"])
+            valid_out[i] = bool(rec["valid"])
+            nm_out[i] = int(rec["num_matches"])
+            done.add(i)
+        if done:
+            print(f"[INFO] Resumed {len(done)} pairs from checkpoint "
+                  f"{self.checkpoint_path}")
+        return done
+
+    def _append_checkpoint(self, frames, pair_range, R_out, t_out,
+                           valid_out, nm_out):
+        if self.checkpoint_path is None:
+            return
+        import json
+
+        self.checkpoint_path.parent.mkdir(parents=True, exist_ok=True)
+        with open(self.checkpoint_path, "a") as f:
+            for i in pair_range:
+                f.write(json.dumps({
+                    "pair": i,
+                    "frame2": int(frames[i + 1]),
+                    "R": R_out[i].reshape(-1).tolist(),
+                    "t": t_out[i].tolist(),
+                    "valid": bool(valid_out[i]),
+                    "num_matches": int(nm_out[i]),
+                }) + "\n")
 
     def process_sequence(self, frame_indices):
         """Reference process_sequence semantics (batch_processor.py:38-116).

@@ -104,6 +104,7 @@ def _estimate_pair_impl(img1, img2, K, key, cfg: EstimatorConfig):
             key, n1, n2, mvalid, thr_n,
             num_hypotheses=cfg.ransac.num_hypotheses,
             refit_rounds=cfg.ransac.refit_rounds,
+            solver=cfg.ransac.solver,
         )
         # recoverPose sees all matched points, as in the reference call
         # cv2.recoverPose(E, pts1, pts2, K) (pose_estimator.py:533).

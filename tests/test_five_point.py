@@ -1,0 +1,127 @@
+"""Batched Nister 5-point solver (hidden-variable formulation) vs synthetic
+ground truth and inside RANSAC (BASELINE.json config #3)."""
+
+import cv2
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rpe_tpu.geometry.five_point import (
+    _build_constraint_coeffs,
+    _det10_lu,
+    _householder_null4,
+    _M3,
+    five_point_essential,
+)
+from rpe_tpu.geometry import (
+    normalize_points,
+    ransac_essential,
+    recover_pose,
+    rotation_error,
+    sampson_error_sq,
+    so3_exp,
+)
+
+
+def skew(v):
+    return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+
+
+def _minimal_problem(rng, n=5, noise=0.0):
+    w = rng.normal(size=3)
+    w = w / np.linalg.norm(w) * np.deg2rad(rng.uniform(2, 30))
+    R = np.asarray(so3_exp(w))
+    t = rng.normal(size=3)
+    t /= np.linalg.norm(t)
+    X = rng.uniform([-2, -2, 3], [2, 2, 10], size=(n, 3))
+    x1 = X / X[:, 2:3]
+    X2 = X @ R.T + t
+    x2 = X2 / X2[:, 2:3]
+    p1 = (x1[:, :2] + rng.normal(size=(n, 2)) * noise).astype(np.float32)
+    p2 = (x2[:, :2] + rng.normal(size=(n, 2)) * noise).astype(np.float32)
+    E = skew(t) @ R
+    return p1, p2, E / np.linalg.norm(E), R, t
+
+
+def test_det10_matches_numpy(rng):
+    M = rng.normal(size=(8, 10, 10)).astype(np.float32)
+    d = np.asarray(_det10_lu(jnp.asarray(M)))
+    np.testing.assert_allclose(d, np.linalg.det(M), rtol=1e-4)
+
+
+def test_nullspace_and_constraints(rng):
+    A = rng.normal(size=(3, 5, 9)).astype(np.float32)
+    N4 = np.asarray(_householder_null4(jnp.asarray(A)))
+    assert np.abs(np.einsum("bij,bjk->bik", A, N4)).max() < 1e-5
+    coeffs = np.asarray(_build_constraint_coeffs(jnp.asarray(N4)))
+    # evaluate constraint polynomials at random points vs direct computation
+    for b in range(3):
+        x, y, z = rng.normal(size=3)
+        E = (x * N4[b][:, 0] + y * N4[b][:, 1] + z * N4[b][:, 2]
+             + N4[b][:, 3]).reshape(3, 3)
+        monos = np.array([x ** a * y ** bb * z ** c for (a, bb, c) in _M3])
+        vals = coeffs[b] @ monos
+        C = 2 * E @ E.T @ E - np.trace(E @ E.T) * E
+        direct = np.concatenate([[np.linalg.det(E)], C.reshape(-1)])
+        np.testing.assert_allclose(vals, direct, atol=1e-4)
+
+
+def test_recovers_true_essential_on_minimal_problems(rng):
+    hits, total = 0, 20
+    for _ in range(total):
+        p1, p2, E_gt, _, _ = _minimal_problem(rng)
+        Es, valid = five_point_essential(jnp.asarray(p1[None]),
+                                         jnp.asarray(p2[None]))
+        Es, valid = np.asarray(Es)[0], np.asarray(valid)[0]
+        best = 1e9
+        for E, v in zip(Es, valid):
+            if not v:
+                continue
+            E = E / np.linalg.norm(E)
+            best = min(best, np.linalg.norm(E - E_gt),
+                       np.linalg.norm(E + E_gt))
+        if best < 1e-3:
+            hits += 1
+    # occasional double roots escape the sign-change grid; RANSAC absorbs it
+    assert hits >= int(0.8 * total), f"{hits}/{total}"
+
+
+def test_all_returned_roots_satisfy_the_minimal_problem(rng):
+    p1, p2, _, _, _ = _minimal_problem(rng)
+    Es, valid = five_point_essential(jnp.asarray(p1[None]),
+                                     jnp.asarray(p2[None]))
+    Es, valid = np.asarray(Es)[0], np.asarray(valid)[0]
+    assert valid.sum() >= 1
+    for E, v in zip(Es, valid):
+        if v:
+            d = np.asarray(sampson_error_sq(
+                jnp.asarray(E), jnp.asarray(p1), jnp.asarray(p2)))
+            assert d.max() < 1e-8
+
+
+def test_ransac_5pt_pose_accuracy(rng):
+    K = np.array([[700.0, 0, 320], [0, 700.0, 240], [0, 0, 1]])
+    w = rng.normal(size=3)
+    w = w / np.linalg.norm(w) * np.deg2rad(10)
+    R_gt = np.asarray(so3_exp(w))
+    t_gt = rng.normal(size=3)
+    t_gt /= np.linalg.norm(t_gt)
+    n = 200
+    X = rng.uniform([-4, -3, 4], [4, 3, 12], size=(n, 3))
+    p1 = (X / X[:, 2:3]) @ K.T
+    X2 = X @ R_gt.T + t_gt
+    p2 = (X2 / X2[:, 2:3]) @ K.T
+    p1 = p1[:, :2] + rng.normal(size=(n, 2)) * 0.3
+    p2 = p2[:, :2] + rng.normal(size=(n, 2)) * 0.3
+    out = rng.choice(n, 50, replace=False)
+    p2[out] = rng.uniform([0, 0], [640, 480], size=(50, 2))
+
+    n1 = normalize_points(jnp.asarray(p1, jnp.float32), jnp.asarray(K, jnp.float32))
+    n2 = normalize_points(jnp.asarray(p2, jnp.float32), jnp.asarray(K, jnp.float32))
+    res = ransac_essential(jax.random.PRNGKey(0), n1, n2,
+                           jnp.ones(n, bool), 1.0 / 700.0,
+                           num_hypotheses=256, solver="5pt")
+    assert bool(res["ok"])
+    R, t, _, _ = recover_pose(res["E"], n1, n2, res["inlier_mask"])
+    err = float(rotation_error(R, jnp.asarray(R_gt)))
+    assert err < 0.5, f"5pt RANSAC rotation error {err:.3f} deg"

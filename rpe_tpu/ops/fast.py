@@ -109,6 +109,17 @@ def border_mask(h: int, w: int, margin: int):
     return (ys >= margin) & (ys < h - margin) & (xs >= margin) & (xs < w - margin)
 
 
+def _use_pallas() -> bool:
+    import os
+
+    if os.environ.get("RPE_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def detect_level(img, threshold: float, margin: int, quota: int):
     """FAST + nonmax + Harris top-`quota` selection on one pyramid level.
 
@@ -116,19 +127,28 @@ def detect_level(img, threshold: float, margin: int, quota: int):
       xy:     (quota, 2) float32 (x, y) level-local pixel coords
       harris: (quota,) float32 Harris responses (ranking score)
       valid:  (quota,) bool
+
+    On TPU the dense FAST+Harris+nonmax stack runs as one fused Pallas
+    kernel (ops/fast_pallas.py); elsewhere the XLA formulation below is
+    used (bit-equivalent; tested against each other).
     """
     h, w = img.shape
-    score = fast_score_map(img, threshold)
-    score = jnp.where(border_mask(h, w, margin), score, 0.0)
-    score = nonmax_suppress_3x3(score)
-    harris = harris_response_map(img)
+    if _use_pallas():
+        from .fast_pallas import fast_harris_rank_map
 
-    is_kpt = score > 0.0
+        rank2d = fast_harris_rank_map(img, float(threshold))
+    else:
+        score = fast_score_map(img, threshold)
+        score = nonmax_suppress_3x3(score)
+        harris = harris_response_map(img)
+        rank2d = jnp.where(score > 0.0, harris, -jnp.inf)
+    rank2d = jnp.where(border_mask(h, w, margin), rank2d, -jnp.inf)
+
     # Rank surviving corners by Harris response (ORB_HARRIS_SCORE).
     # approx_max_k uses the TPU's hardware-accelerated partial-reduce
     # top-k (recall ~0.95); which marginal corners make the cut is
     # immaterial, and exact top_k over H*W is a major serial bottleneck.
-    rank = jnp.where(is_kpt, harris, -jnp.inf).reshape(-1)
+    rank = rank2d.reshape(-1)
     vals, flat_idx = jax.lax.approx_max_k(rank, quota)
     ys = (flat_idx // w).astype(jnp.float32)
     xs = (flat_idx % w).astype(jnp.float32)

@@ -1,0 +1,162 @@
+"""Fused FAST-9 + Harris + nonmax Pallas kernel.
+
+The XLA formulation in ops/fast.py materializes ~40 full-image intermediates
+(16 neighbor planes, run masks, gradient products, box sums) in HBM. This
+kernel streams the image once: each grid step DMAs an 18-row window into
+VMEM and produces an 8-row block of the final *rank map*
+(harris response where a FAST corner survives 3x3 nonmax, -inf elsewhere) —
+the exact input `detect_level`'s top-k consumes.
+
+Layout: grid over row tiles, full image width per tile (KITTI-width rows
+pad to the 128-lane boundary). All shifts are static row slices + lane
+rolls, so everything stays in vector registers/VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+import numpy as np
+
+from .fast import _CIRCLE
+
+TILE_ROWS = 8
+HALO = 5            # 4 (harris: 3 box + 1 gradient) + 1 (nonmax)
+IN_ROWS = TILE_ROWS + 2 * HALO  # 18
+
+
+def _shift(x, dy, dx, y0, rows):
+    """Static vertical slice + lane roll: x[(y0+dy) : (y0+dy+rows), :]
+    shifted left by dx (columns wrap; borders are masked downstream)."""
+    v = jax.lax.dynamic_slice_in_dim(x, y0 + dy, rows, axis=0)
+    if dx:
+        v = pltpu.roll(v, (-dx) % v.shape[1], axis=1)
+    return v
+
+
+def _fast_harris_kernel(threshold, k_harris, img_hbm, out_ref, win, sem):
+    # img_hbm: full (Hp + 2*HALO, W) image in HBM; out_ref: (TILE_ROWS, W)
+    # win: (IN_ROWS, W) VMEM scratch; one async DMA per grid step.
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        img_hbm.at[pl.ds(i * TILE_ROWS, IN_ROWS), :], win, sem)
+    dma.start()
+    dma.wait()
+    x = win[:]
+
+    # --- FAST score on TILE_ROWS + 2 rows (nonmax halo), centered at HALO-1
+    s_rows = TILE_ROWS + 2
+    y0 = HALO - 1
+    center = jax.lax.dynamic_slice_in_dim(x, y0, s_rows, axis=0)
+    bright = []
+    dark = []
+    diffs = []
+    for dx, dy in _CIRCLE:
+        nb = _shift(x, dy, dx, y0, s_rows)
+        d = nb - center
+        diffs.append(d)
+        bright.append(d > threshold)
+        dark.append(d < -threshold)
+
+    def run_ge9(b):
+        def rot(i, s):
+            return b[(i + s) % 16]
+        s2 = [b[i] & rot(i, 1) for i in range(16)]
+        s4 = [s2[i] & s2[(i + 2) % 16] for i in range(16)]
+        s8 = [s4[i] & s4[(i + 4) % 16] for i in range(16)]
+        s9 = [s8[i] & b[(i + 8) % 16] for i in range(16)]
+        out = s9[0]
+        for i in range(1, 16):
+            out = out | s9[i]
+        return out
+
+    is_corner = run_ge9(bright) | run_ge9(dark)
+    zero = jnp.zeros_like(center)
+    score_b = zero
+    score_d = zero
+    for d, br, dk in zip(diffs, bright, dark):
+        score_b = score_b + jnp.where(br, d - threshold, 0.0)
+        score_d = score_d + jnp.where(dk, -d - threshold, 0.0)
+    fast_score = jnp.where(is_corner, jnp.maximum(score_b, score_d), 0.0)
+
+    # --- Harris response on the TILE_ROWS output rows
+    # gradient products on TILE_ROWS + 6 rows (box halo 3)
+    g_rows = TILE_ROWS + 6
+    gy0 = HALO - 3
+    gx = (_shift(x, 0, -1, gy0, g_rows) - _shift(x, 0, 1, gy0, g_rows))
+    gy = (_shift(x, -1, 0, gy0, g_rows) - _shift(x, 1, 0, gy0, g_rows))
+    axx = gx * gx
+    ayy = gy * gy
+    axy = gx * gy
+
+    def box7(v):
+        # 7x7 box sum: 7 row-slices + 7 lane-rolls (separable adds)
+        rowsum = jnp.zeros((TILE_ROWS, v.shape[1]), v.dtype)
+        for dy in range(-3, 4):
+            rowsum = rowsum + jax.lax.dynamic_slice_in_dim(
+                v, 3 + dy, TILE_ROWS, axis=0)
+        out = jnp.zeros_like(rowsum)
+        for dx in range(-3, 4):
+            out = out + (pltpu.roll(rowsum, (-dx) % rowsum.shape[1], axis=1)
+                         if dx else rowsum)
+        return out
+
+    a = box7(axx)
+    b_ = box7(ayy)
+    c = box7(axy)
+    harris = (a * b_ - c * c) - k_harris * (a + b_) ** 2
+
+    # --- 3x3 nonmax on the FAST score (score has 1-row halo)
+    neighborhood_max = None
+    for dy in range(3):
+        for dx in (-1, 0, 1):
+            v = jax.lax.dynamic_slice_in_dim(fast_score, dy, TILE_ROWS, axis=0)
+            if dx:
+                v = pltpu.roll(v, (-dx) % v.shape[1], axis=1)
+            neighborhood_max = v if neighborhood_max is None else \
+                jnp.maximum(neighborhood_max, v)
+    score_c = jax.lax.dynamic_slice_in_dim(fast_score, 1, TILE_ROWS, axis=0)
+    keep = (score_c >= neighborhood_max) & (score_c > 0.0)
+
+    out_ref[:] = jnp.where(keep, harris, -jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "interpret"))
+def fast_harris_rank_map(img, threshold: float = 15.0, k_harris: float = 0.04,
+                         interpret: bool = False):
+    """Fused rank map for one image (H, W) float32.
+
+    Returns (H, W): harris response at surviving FAST corners, -inf
+    elsewhere. Rows are processed in TILE_ROWS blocks with a replicated-edge
+    halo; columns wrap (masked by the caller's border margin).
+    """
+    h, w = img.shape
+    # pad width to the 128-lane boundary, height to a tile multiple + halo
+    wp = -(-w // 128) * 128
+    hp = -(-h // TILE_ROWS) * TILE_ROWS
+    padded = jnp.pad(img, ((HALO, hp - h + HALO), (0, wp - w)), mode="edge")
+
+    grid = (hp // TILE_ROWS,)
+    out = pl.pallas_call(
+        functools.partial(_fast_harris_kernel, float(threshold),
+                          float(k_harris)),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (TILE_ROWS, wp),
+            lambda i: (i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((IN_ROWS, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(padded)
+    return out[:h, :w]

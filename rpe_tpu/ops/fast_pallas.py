@@ -33,26 +33,26 @@ IN_ROWS = TILE_ROWS + 2 * HALO  # 18
 def _shift(x, dy, dx, y0, rows):
     """Static vertical slice + lane roll: x[(y0+dy) : (y0+dy+rows), :]
     shifted left by dx (columns wrap; borders are masked downstream)."""
-    v = jax.lax.dynamic_slice_in_dim(x, y0 + dy, rows, axis=0)
+    v = x[y0 + dy: y0 + dy + rows, :]
     if dx:
         v = pltpu.roll(v, (-dx) % v.shape[1], axis=1)
     return v
 
 
-def _fast_harris_kernel(threshold, k_harris, img_hbm, out_ref, win, sem):
-    # img_hbm: full (Hp + 2*HALO, W) image in HBM; out_ref: (TILE_ROWS, W)
-    # win: (IN_ROWS, W) VMEM scratch; one async DMA per grid step.
-    i = pl.program_id(0)
-    dma = pltpu.make_async_copy(
-        img_hbm.at[pl.ds(i * TILE_ROWS, IN_ROWS), :], win, sem)
-    dma.start()
-    dma.wait()
-    x = win[:]
+def _fast_harris_kernel(threshold, k_harris, prev_ref, cur_ref, next_ref,
+                        out_ref):
+    # prev/cur/next: three consecutive TILE_ROWS x W VMEM blocks of the
+    # padded image (the same array bound three times with index maps i,
+    # i+1, i+2) — a halo without overlapping block windows, which the
+    # Mosaic lowering does not support. The 18-row compute window sits
+    # centered inside the 3-tile stack.
+    x = jnp.concatenate([prev_ref[:], cur_ref[:], next_ref[:]], axis=0)
+    x = x[TILE_ROWS - HALO: TILE_ROWS - HALO + IN_ROWS, :]
 
     # --- FAST score on TILE_ROWS + 2 rows (nonmax halo), centered at HALO-1
     s_rows = TILE_ROWS + 2
     y0 = HALO - 1
-    center = jax.lax.dynamic_slice_in_dim(x, y0, s_rows, axis=0)
+    center = x[y0: y0 + s_rows, :]
     bright = []
     dark = []
     diffs = []
@@ -98,8 +98,7 @@ def _fast_harris_kernel(threshold, k_harris, img_hbm, out_ref, win, sem):
         # 7x7 box sum: 7 row-slices + 7 lane-rolls (separable adds)
         rowsum = jnp.zeros((TILE_ROWS, v.shape[1]), v.dtype)
         for dy in range(-3, 4):
-            rowsum = rowsum + jax.lax.dynamic_slice_in_dim(
-                v, 3 + dy, TILE_ROWS, axis=0)
+            rowsum = rowsum + v[3 + dy: 3 + dy + TILE_ROWS, :]
         out = jnp.zeros_like(rowsum)
         for dx in range(-3, 4):
             out = out + (pltpu.roll(rowsum, (-dx) % rowsum.shape[1], axis=1)
@@ -115,12 +114,12 @@ def _fast_harris_kernel(threshold, k_harris, img_hbm, out_ref, win, sem):
     neighborhood_max = None
     for dy in range(3):
         for dx in (-1, 0, 1):
-            v = jax.lax.dynamic_slice_in_dim(fast_score, dy, TILE_ROWS, axis=0)
+            v = fast_score[dy: dy + TILE_ROWS, :]
             if dx:
                 v = pltpu.roll(v, (-dx) % v.shape[1], axis=1)
             neighborhood_max = v if neighborhood_max is None else \
                 jnp.maximum(neighborhood_max, v)
-    score_c = jax.lax.dynamic_slice_in_dim(fast_score, 1, TILE_ROWS, axis=0)
+    score_c = fast_score[1: 1 + TILE_ROWS, :]
     keep = (score_c >= neighborhood_max) & (score_c > 0.0)
 
     out_ref[:] = jnp.where(keep, harris, -jnp.inf)
@@ -136,27 +135,28 @@ def fast_harris_rank_map(img, threshold: float = 15.0, k_harris: float = 0.04,
     halo; columns wrap (masked by the caller's border margin).
     """
     h, w = img.shape
-    # pad width to the 128-lane boundary, height to a tile multiple + halo
+    # pad width to the 128-lane boundary, height to a tile multiple plus one
+    # full tile of edge padding on each side (the prev/next halo blocks)
     wp = -(-w // 128) * 128
     hp = -(-h // TILE_ROWS) * TILE_ROWS
-    padded = jnp.pad(img, ((HALO, hp - h + HALO), (0, wp - w)), mode="edge")
+    padded = jnp.pad(
+        img, ((TILE_ROWS, hp - h + TILE_ROWS), (0, wp - w)), mode="edge")
 
     grid = (hp // TILE_ROWS,)
+    block = pl.BlockSpec((TILE_ROWS, wp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    block_next = pl.BlockSpec((TILE_ROWS, wp), lambda i: (i + 1, 0),
+                              memory_space=pltpu.VMEM)
+    block_next2 = pl.BlockSpec((TILE_ROWS, wp), lambda i: (i + 2, 0),
+                               memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_fast_harris_kernel, float(threshold),
                           float(k_harris)),
         out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(
-            (TILE_ROWS, wp),
-            lambda i: (i, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((IN_ROWS, wp), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        in_specs=[block, block_next, block_next2],
+        out_specs=pl.BlockSpec((TILE_ROWS, wp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(padded)
+    )(padded, padded, padded)
     return out[:h, :w]

@@ -90,15 +90,16 @@ def _ic_angle_masks():
 def gather_patches(img, xy):
     """img (H, W), xy (K, 2) float (x, y) int-valued -> (K, PATCH, PATCH).
 
-    Keypoints are guaranteed >= EDGE_MARGIN > PATCH_R from the border, so no
-    bounds handling is needed; one fused XLA gather.
+    Keypoints are guaranteed >= EDGE_MARGIN > PATCH_R from the border.
+    vmap(dynamic_slice) lowers to a gather of contiguous 2-D blocks, which
+    the TPU executes orders of magnitude faster than the element-at-a-time
+    gather produced by fancy indexing.
     """
     x0 = xy[:, 0].astype(jnp.int32) - PATCH_R
     y0 = xy[:, 1].astype(jnp.int32) - PATCH_R
-    di = jnp.arange(PATCH)
-    rows = y0[:, None] + di[None, :]            # (K, PATCH)
-    cols = x0[:, None] + di[None, :]
-    return img[rows[:, :, None], cols[:, None, :]]
+    return jax.vmap(
+        lambda y, x: jax.lax.dynamic_slice(img, (y, x), (PATCH, PATCH))
+    )(y0, x0)
 
 
 def ic_angles(patches):
@@ -116,6 +117,10 @@ def steered_brief(patches_blur, angles):
 
     patches_blur: (K, PATCH, PATCH) from the Gaussian-blurred level.
     angles: (K,) radians. Returns (K, 256) uint8 bits.
+
+    Sampling the 512 rotated pattern points is expressed as two one-hot
+    contractions on the MXU (sample = rowOH . patch . colOH) instead of the
+    element-at-a-time gather TPUs execute poorly.
     """
     pat = jnp.asarray(brief_pattern(), dtype=jnp.float32)  # (256, 2, 2)
     ca, sa = jnp.cos(angles), jnp.sin(angles)              # (K,)
@@ -125,8 +130,19 @@ def steered_brief(patches_blur, angles):
     ry = px[None] * sa[:, None, None] + py[None] * ca[:, None, None]
     ix = jnp.round(rx).astype(jnp.int32) + PATCH_R         # (K, 256, 2)
     iy = jnp.round(ry).astype(jnp.int32) + PATCH_R
-    k_idx = jnp.arange(patches_blur.shape[0])[:, None, None]
-    vals = patches_blur[k_idx, iy, ix]                     # (K, 256, 2)
+    k, s = ix.shape[0], 2 * ix.shape[1]
+    ixf = ix.reshape(k, s)
+    iyf = iy.reshape(k, s)
+    grid = jnp.arange(PATCH)
+    row_oh = (iyf[..., None] == grid).astype(jnp.float32)    # (K, S, P)
+    col_oh = (ixf[..., None] == grid).astype(jnp.float32)    # (K, S, P)
+    # HIGHEST precision: one-hot selection must reproduce patch values
+    # exactly (bit decisions compare near-equal intensities).
+    tmp = jnp.einsum("ksy,kyx->ksx", row_oh, patches_blur,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)    # (K, S, P)
+    vals = jnp.sum(tmp * col_oh, axis=-1)                    # (K, S)
+    vals = vals.reshape(k, s // 2, 2)
     return (vals[..., 0] < vals[..., 1]).astype(jnp.uint8)
 
 

@@ -67,65 +67,9 @@ def match_features(det1, det2, cfg: EstimatorConfig):
 
 
 def _estimate_pair_impl(img1, img2, K, key, cfg: EstimatorConfig):
-    """One fused XLA program: images in, (R, t, diagnostics) out.
-
-    Args:
-      img1, img2: (H, W) float32 grayscale [0, 255].
-      K: (3, 3) float32 intrinsics.
-      key: PRNG key driving RANSAC sampling (deterministic per key —
-        unlike OpenCV's global-state RNG).
-      cfg: static EstimatorConfig.
-
-    Returns dict:
-      R (3,3), t (3,) unit, valid bool, num_matches, num_inliers,
-      cheirality_votes, pts1/pts2 (max_matches, 2), match_valid,
-      inlier_mask (max_matches,).
-    """
     det1 = detect_features(img1, cfg)
     det2 = detect_features(img2, cfg)
-    matches = match_features(det1, det2, cfg)
-
-    pts1 = jnp.take(det1["xy"], matches["idx1"], axis=0)  # (M, 2)
-    pts2 = jnp.take(det2["xy"], matches["idx2"], axis=0)
-    mvalid = matches["valid"]
-    num_matches = jnp.sum(mvalid.astype(jnp.int32))
-
-    # Small-matrix geometry must NOT run at the TPU's default (bf16-pass)
-    # matmul precision: 3x3/9x9 products at ~1e-3 rounding destroy rotation
-    # orthonormality. Cost is negligible at these shapes.
-    with jax.default_matmul_precision("highest"):
-        n1 = normalize_points(pts1, K)
-        n2 = normalize_points(pts2, K)
-        # OpenCV findEssentialMat rescales the pixel threshold by the mean
-        # focal.
-        thr_n = cfg.ransac.threshold_px / (0.5 * (K[0, 0] + K[1, 1]))
-
-        r = ransac_essential(
-            key, n1, n2, mvalid, thr_n,
-            num_hypotheses=cfg.ransac.num_hypotheses,
-            refit_rounds=cfg.ransac.refit_rounds,
-            solver=cfg.ransac.solver,
-        )
-        # recoverPose sees all matched points, as in the reference call
-        # cv2.recoverPose(E, pts1, pts2, K) (pose_estimator.py:533).
-        R, t, votes, _ = recover_pose(r["E"], n1, n2, mvalid)
-
-    valid = r["ok"] & (num_matches >= 5)
-    eye = jnp.eye(3, dtype=R.dtype)
-    R = jnp.where(valid, R, eye)
-    t = jnp.where(valid, t, jnp.array([0.0, 0.0, 1.0], dtype=t.dtype))
-    return {
-        "R": R,
-        "t": t,
-        "valid": valid,
-        "num_matches": num_matches,
-        "num_inliers": r["num_inliers"],
-        "cheirality_votes": votes,
-        "pts1": pts1,
-        "pts2": pts2,
-        "match_valid": mvalid,
-        "inlier_mask": r["inlier_mask"],
-    }
+    return _match_to_pose(det1, det2, K, key, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -133,21 +77,63 @@ def estimate_pair(img1, img2, K, key, cfg: EstimatorConfig = EstimatorConfig()):
     return _estimate_pair_impl(img1, img2, K, key, cfg)
 
 
+def _match_to_pose(det1, det2, K, key, cfg: EstimatorConfig):
+    """Match -> RANSAC -> recoverPose given precomputed detections."""
+    matches = match_features(det1, det2, cfg)
+    pts1 = jnp.take(det1["xy"], matches["idx1"], axis=0)
+    pts2 = jnp.take(det2["xy"], matches["idx2"], axis=0)
+    mvalid = matches["valid"]
+    num_matches = jnp.sum(mvalid.astype(jnp.int32))
+
+    with jax.default_matmul_precision("highest"):
+        n1 = normalize_points(pts1, K)
+        n2 = normalize_points(pts2, K)
+        thr_n = cfg.ransac.threshold_px / (0.5 * (K[0, 0] + K[1, 1]))
+        r = ransac_essential(
+            key, n1, n2, mvalid, thr_n,
+            num_hypotheses=cfg.ransac.num_hypotheses,
+            refit_rounds=cfg.ransac.refit_rounds,
+            solver=cfg.ransac.solver,
+        )
+        R, t, votes, _ = recover_pose(r["E"], n1, n2, mvalid)
+
+    valid = r["ok"] & (num_matches >= 5)
+    eye = jnp.eye(3, dtype=R.dtype)
+    R = jnp.where(valid, R, eye)
+    t = jnp.where(valid, t, jnp.array([0.0, 0.0, 1.0], dtype=t.dtype))
+    return {
+        "R": R, "t": t, "valid": valid,
+        "num_matches": num_matches, "num_inliers": r["num_inliers"],
+        "cheirality_votes": votes,
+        "pts1": pts1, "pts2": pts2,
+        "match_valid": mvalid, "inlier_mask": r["inlier_mask"],
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def estimate_pairs_batched(imgs1, imgs2, K, keys,
                            cfg: EstimatorConfig = EstimatorConfig()):
     """Batched pair estimation: (B, H, W) x2 -> per-pair pose dict.
 
-    vmap over the pair axis — the TPU analogue of the reference's sequential
-    frame loop (batch_processor.py:71). With a mesh, shard the leading axis
-    (see parallel/mesh.py); pairs are embarrassingly parallel (SURVEY.md
-    §2.3).
+    The TPU analogue of the reference's sequential frame loop
+    (batch_processor.py:71). Detection runs as lax.map over the 2B images:
+    the per-keypoint patch gathers lower to efficient single-image
+    dynamic-slice gathers, where a vmapped batch would force the TPU's slow
+    general-gather path (measured 2.8x). Matching/RANSAC/pose (dense,
+    batch-friendly math) stay vmapped over pairs. With a mesh, shard the
+    leading axis (parallel/mesh.py); pairs are embarrassingly parallel
+    (SURVEY.md §2.3).
     """
+    all_imgs = jnp.concatenate([imgs1, imgs2], axis=0)
+    dets = jax.lax.map(lambda im: detect_features(im, cfg), all_imgs)
+    b = imgs1.shape[0]
+    det1 = jax.tree.map(lambda x: x[:b], dets)
+    det2 = jax.tree.map(lambda x: x[b:], dets)
     fn = jax.vmap(
-        lambda a, b, k: _estimate_pair_impl(a, b, K, k, cfg),
+        lambda d1, d2, k: _match_to_pose(d1, d2, K, k, cfg),
         in_axes=(0, 0, 0),
     )
-    return fn(imgs1, imgs2, keys)
+    return fn(det1, det2, keys)
 
 
 class PoseEstimator:

@@ -146,6 +146,106 @@ def steered_brief(patches_blur, angles):
     return (vals[..., 0] < vals[..., 1]).astype(jnp.uint8)
 
 
+@functools.lru_cache(maxsize=None)
+def _atlas_valid_mask(offsets, total: int, wp: int, shapes, margin: int):
+    """Static (HA, WP) mask: True inside each level's interior margin."""
+    mask = np.zeros((total, wp), dtype=bool)
+    for (off, lh, lw), _ in zip(offsets, shapes):
+        if lh > 2 * margin and lw > 2 * margin:
+            mask[off + margin: off + lh - margin,
+                 margin: lw - margin] = True
+    return mask
+
+
+def orb_detect_and_describe_atlas(
+    img,
+    nfeatures: int = 4000,
+    nlevels: int = 12,
+    scale_factor: float = 1.1,
+    fast_threshold: float = 15.0,
+    max_kpts: int = 4096,
+):
+    """Atlas-based ORB: one rank-map pass, one blur, one banded patch
+    extraction for the whole pyramid (see ops/atlas.py). Output contract is
+    identical to `orb_detect_and_describe` except keypoint ordering (which
+    nothing downstream depends on — matching is by descriptor)."""
+    from .atlas import banded_extract, build_atlas, gaussian_blur_rolled
+    from .fast import _use_pallas, fast_score_map, harris_response_map, \
+        nonmax_suppress_3x3
+    from .pyramid import level_shapes
+
+    h, w = img.shape
+    quotas = level_quotas(nfeatures, nlevels, scale_factor)
+    levels = build_pyramid(img, nlevels, scale_factor)
+    atlas, (offsets, total, wp) = build_atlas(
+        levels, h, w, nlevels, scale_factor)
+
+    if _use_pallas():
+        from .fast_pallas import fast_harris_rank_map
+
+        rank = fast_harris_rank_map(atlas, float(fast_threshold))
+    else:
+        score = nonmax_suppress_3x3(fast_score_map(atlas, fast_threshold))
+        rank = jnp.where(score > 0.0, harris_response_map(atlas), -jnp.inf)
+
+    shapes = tuple(level_shapes(h, w, nlevels, scale_factor))
+    mask = _atlas_valid_mask(tuple(offsets), total, wp, shapes, EDGE_MARGIN)
+    rank = jnp.where(jnp.asarray(mask), rank, -jnp.inf)
+
+    xs_a, ys_a, xs_b, lvls, scores, valids = [], [], [], [], [], []
+    for l, ((off, lh, lw), quota) in enumerate(zip(offsets, quotas)):
+        if quota <= 0 or lh <= 2 * EDGE_MARGIN or lw <= 2 * EDGE_MARGIN:
+            continue
+        sub = jax.lax.dynamic_slice_in_dim(rank, off, lh, axis=0)
+        vals, flat = jax.lax.approx_max_k(sub.reshape(-1), quota)
+        vy = (flat // wp).astype(jnp.float32)
+        vx = (flat % wp).astype(jnp.float32)
+        valid = vals > -jnp.inf
+        vy = jnp.where(valid, vy, jnp.float32(EDGE_MARGIN))
+        vx = jnp.where(valid, vx, jnp.float32(EDGE_MARGIN))
+        scale = scale_factor ** l
+        xs_a.append(jnp.stack([vx, vy + off], axis=-1))      # atlas coords
+        xs_b.append(jnp.stack([vx, vy], axis=-1) * scale)    # base coords
+        lvls.append(jnp.full((quota,), l, jnp.int32))
+        scores.append(vals)
+        valids.append(valid)
+
+    xy_atlas = jnp.concatenate(xs_a, axis=0)
+    xy_base = jnp.concatenate(xs_b, axis=0)
+    level = jnp.concatenate(lvls, axis=0)
+    score = jnp.concatenate(scores, axis=0)
+    valid = jnp.concatenate(valids, axis=0)
+    n = xy_atlas.shape[0]
+    if n < max_kpts:
+        pad = max_kpts - n
+        xy_atlas = jnp.pad(xy_atlas, ((0, pad), (0, 0)),
+                           constant_values=EDGE_MARGIN)
+        xy_base = jnp.pad(xy_base, ((0, pad), (0, 0)))
+        level = jnp.pad(level, (0, pad))
+        score = jnp.pad(score, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+    else:
+        xy_atlas, xy_base = xy_atlas[:max_kpts], xy_base[:max_kpts]
+        level, score, valid = level[:max_kpts], score[:max_kpts], valid[:max_kpts]
+
+    blurred = gaussian_blur_rolled(atlas)
+    ext = banded_extract(atlas, blurred, xy_atlas, valid, patch=PATCH)
+
+    angle_slots = ic_angles(ext["patches_raw"])
+    bits_slots = steered_brief(ext["patches_blur"], angle_slots)
+
+    order = ext["order"]
+    slot = ext["slot_of_sorted"]
+    return {
+        "xy": jnp.take(xy_base, order, axis=0),
+        "angle": jnp.take(angle_slots, slot),
+        "level": jnp.take(level, order),
+        "score": jnp.take(score, order),
+        "bits": jnp.take(bits_slots, slot, axis=0),
+        "valid": ext["valid_sorted"],
+    }
+
+
 def orb_detect_and_describe(
     img,
     nfeatures: int = 4000,
@@ -153,6 +253,7 @@ def orb_detect_and_describe(
     scale_factor: float = 1.1,
     fast_threshold: float = 15.0,
     max_kpts: int = 4096,
+    use_atlas: bool = True,
 ):
     """Full ORB on one grayscale image (H, W) float32 [0, 255].
 
@@ -164,6 +265,13 @@ def orb_detect_and_describe(
       bits:   (max_kpts, 256) uint8 — descriptor bits
       valid:  (max_kpts,)  bool
     """
+    import os
+
+    if use_atlas and not os.environ.get("RPE_NO_ATLAS"):
+        return orb_detect_and_describe_atlas(
+            img, nfeatures=nfeatures, nlevels=nlevels,
+            scale_factor=scale_factor, fast_threshold=fast_threshold,
+            max_kpts=max_kpts)
     quotas = level_quotas(nfeatures, nlevels, scale_factor)
     levels = build_pyramid(img, nlevels, scale_factor)
 

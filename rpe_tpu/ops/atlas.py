@@ -154,13 +154,16 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
         rowoh = rowoh.astype(jnp.float32)
 
         def sel(w):
+            # One-hot selection: exactly one nonzero product per output, so
+            # DEFAULT precision (bf16x3 decomposition, ~f32-exact for image
+            # values) suffices — HIGHEST doubles the MXU passes for nothing.
             # lanes first: (NBC, WIN, CAP*patch)
             t = jnp.einsum("bvx,bxm->bvm", w, col,
-                           precision=jax.lax.Precision.HIGHEST)
+                           preferred_element_type=jnp.float32)
             t = t.reshape(wr.shape[0], WIN, CAP, patch)
             # rows: (NBC, CAP, patch_i, patch_j)
             return jnp.einsum("bciv,bvcj->bcij", rowoh, t,
-                              precision=jax.lax.Precision.HIGHEST)
+                              preferred_element_type=jnp.float32)
 
         return sel(wr), sel(wb)
 

@@ -136,11 +136,10 @@ def steered_brief(patches_blur, angles):
     grid = jnp.arange(PATCH)
     row_oh = (iyf[..., None] == grid).astype(jnp.float32)    # (K, S, P)
     col_oh = (ixf[..., None] == grid).astype(jnp.float32)    # (K, S, P)
-    # HIGHEST precision: one-hot selection must reproduce patch values
-    # exactly (bit decisions compare near-equal intensities).
+    # One-hot selection: exactly one nonzero product per output; DEFAULT
+    # (bf16x3) precision reconstructs image-derived f32 values exactly.
     tmp = jnp.einsum("ksy,kyx->ksx", row_oh, patches_blur,
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)    # (K, S, P)
+                     preferred_element_type=jnp.float32)     # (K, S, P)
     vals = jnp.sum(tmp * col_oh, axis=-1)                    # (K, S)
     vals = vals.reshape(k, s // 2, 2)
     return (vals[..., 0] < vals[..., 1]).astype(jnp.uint8)

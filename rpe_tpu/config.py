@@ -43,12 +43,17 @@ class MatcherConfig:
 
 @dataclasses.dataclass(frozen=True)
 class RansacConfig:
-    num_hypotheses: int = 2048    # replaces prob=0.999 adaptive iteration
+    num_hypotheses: int = 256     # minimal samples (replaces prob=0.999
+    # adaptive iteration; 5pt yields up to 10 models per sample -> ~2.5k
+    # hypotheses scored, and 5-point samples have far higher all-inlier
+    # probability than 8-point ones)
     threshold_px: float = 1.0     # reference pose_estimator.py:526
     refit_rounds: int = 2
-    solver: str = "8pt"           # "8pt" | "5pt" (Nister minimal solver,
-    # matching cv2.findEssentialMat's algorithm; 8pt+refits is the faster
-    # default and empirically at least as accurate at this match count)
+    solver: str = "5pt"           # "5pt" (Nister, cv2.findEssentialMat's
+    # algorithm — REQUIRED for planar scenes, where 8-point degenerates:
+    # the Salah dataset produced 19 catastrophic pairs with 8pt vs 4 for
+    # the reference; 5pt matches OpenCV within ~1-3 deg on those pairs)
+    # | "8pt" (faster; fine for non-planar scenes)
 
 
 @dataclasses.dataclass(frozen=True)

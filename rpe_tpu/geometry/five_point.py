@@ -36,9 +36,9 @@ import numpy as np
 
 _EPS = 1e-20
 
-GRID = 129          # tan-spaced determinant evaluation points
+GRID = 97           # tan-spaced determinant evaluation points
 MAX_ROOTS = 10      # degree bound of the hidden-variable determinant
-BISECT_ITERS = 40
+BISECT_ITERS = 30   # + Gauss-Newton polish afterwards
 
 
 # ---------------------------------------------------------------------------
@@ -186,21 +186,30 @@ def _householder_null4(A):
     return Q[..., :, 5:]                             # (..., 9, 4)
 
 
-def _det10_lu(M):
-    """Determinant of (..., 10, 10) via unrolled LU with partial pivoting."""
+def _det10_lu(M, pivot: bool = False):
+    """Determinant of (..., 10, 10) via unrolled LU.
+
+    pivot=False (default): no row pivoting. The hidden-variable matrices are
+    row-normalized upstream and generically well-pivoted; the occasional
+    ill-conditioned evaluation merely perturbs one grid sample of the sign
+    scan, and spurious roots are eliminated by the Gauss-Newton polish +
+    RANSAC scoring. Pivoting needs take_along_axis — a TPU gather that
+    dominated the whole solver (~10x slowdown across the ~70k determinant
+    evaluations per RANSAC call).
+    """
     n = 10
     det = jnp.ones(M.shape[:-2], dtype=M.dtype)
     A = M
     for k_ in range(n - 1):
-        col = jnp.abs(A[..., k_:, k_])               # (..., n-k)
-        p = jnp.argmax(col, axis=-1)                 # relative pivot row
-        kp = (k_ + p)[..., None]                     # (..., 1)
-        idx = jnp.arange(n)                          # (n,)
-        # permutation: position k gets row kp, position kp gets row k
-        rows = jnp.where(idx == k_, kp,
-                         jnp.where(idx == kp, k_, idx))
-        A = jnp.take_along_axis(A, rows[..., :, None], axis=-2)
-        det = det * jnp.where(p == 0, 1.0, -1.0)
+        if pivot:
+            col = jnp.abs(A[..., k_:, k_])           # (..., n-k)
+            p = jnp.argmax(col, axis=-1)             # relative pivot row
+            kp = (k_ + p)[..., None]                 # (..., 1)
+            idx = jnp.arange(n)                      # (n,)
+            rows = jnp.where(idx == k_, kp,
+                             jnp.where(idx == kp, k_, idx))
+            A = jnp.take_along_axis(A, rows[..., :, None], axis=-2)
+            det = det * jnp.where(p == 0, 1.0, -1.0)
         piv = A[..., k_, k_]
         det = det * piv
         safe = jnp.where(jnp.abs(piv) > _EPS, piv, 1.0)

@@ -1,0 +1,91 @@
+"""Atlas detection path vs the per-level reference path (must be
+descriptor-identical for co-located keypoints) + banded extraction edge
+cases."""
+
+import cv2
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.spatial import cKDTree
+
+from rpe_tpu.ops.atlas import banded_extract, build_atlas, CAP, \
+    gaussian_blur_rolled
+from rpe_tpu.ops.orb import (
+    orb_detect_and_describe,
+    orb_detect_and_describe_atlas,
+)
+
+IMG = "/root/reference/evaluation-runs/single-pair/images/000000.png"
+
+
+@pytest.fixture(scope="module")
+def gray():
+    return cv2.imread(IMG, cv2.IMREAD_GRAYSCALE).astype(np.float32)
+
+
+def test_atlas_matches_per_level_descriptors(gray):
+    img = jnp.asarray(gray)
+    a = orb_detect_and_describe_atlas(img, nfeatures=1500, nlevels=6,
+                                      max_kpts=1536)
+    b = orb_detect_and_describe(img, nfeatures=1500, nlevels=6,
+                                max_kpts=1536, use_atlas=False)
+    va, vb = np.asarray(a["valid"]), np.asarray(b["valid"])
+    assert va.sum() > 0.85 * vb.sum()  # band caps may drop a few
+
+    xa = np.asarray(a["xy"])[va]
+    xb = np.asarray(b["xy"])[vb]
+    d, idx = cKDTree(xb).query(xa, k=1)
+    assert (d < 0.5).mean() > 0.97
+
+    bits_a = np.asarray(a["bits"])[va]
+    bits_b = np.asarray(b["bits"])[vb]
+    sel = d < 0.5
+    ham = (bits_a[sel] != bits_b[idx[sel]]).sum(1)
+    assert np.median(ham) == 0  # identical descriptors for identical kpts
+    assert (ham == 0).mean() > 0.9
+
+    ang_a = np.asarray(a["angle"])[va][sel]
+    ang_b = np.asarray(b["angle"])[vb][idx[sel]]
+    dd = np.abs(((ang_a - ang_b + np.pi) % (2 * np.pi)) - np.pi)
+    assert np.median(dd) < 1e-5
+
+
+def test_banded_extract_matches_direct_slicing(gray):
+    img = jnp.asarray(gray[:320, :640])
+    levels = [img]
+    atlas, (offsets, total, wp) = build_atlas([img], 320, 640, 1, 1.1)
+    blurred = gaussian_blur_rolled(atlas)
+    rng = np.random.default_rng(0)
+    k = 64
+    off = offsets[0][0]
+    xy = np.stack([rng.integers(20, 620, k),
+                   rng.integers(off + 20, off + 300, k)], 1).astype(np.float32)
+    valid = np.ones(k, bool)
+    ext = banded_extract(atlas, blurred, jnp.asarray(xy), jnp.asarray(valid))
+    praw = np.asarray(ext["patches_raw"])
+    atlas_np = np.asarray(atlas)
+    order = np.asarray(ext["order"])
+    slots = np.asarray(ext["slot_of_sorted"])
+    vs = np.asarray(ext["valid_sorted"])
+    assert vs.sum() == k
+    for i in range(k):
+        if not vs[i]:
+            continue
+        x, y = xy[order[i]].astype(int)
+        ref = atlas_np[y - 15:y + 16, x - 15:x + 16]
+        np.testing.assert_allclose(praw[slots[i]], ref, atol=1e-4)
+
+
+def test_banded_extract_cap_overflow():
+    """More keypoints in one band than CAP: extras invalidated, no crash."""
+    atlas = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 255, (160, 256)).astype(np.float32))
+    blurred = atlas
+    k = CAP + 20
+    xy = np.stack([np.linspace(20, 230, k), np.full(k, 80.0)], 1)
+    valid = np.ones(k, bool)
+    ext = banded_extract(atlas, blurred, jnp.asarray(xy, jnp.float32),
+                         jnp.asarray(valid))
+    vs = np.asarray(ext["valid_sorted"])
+    assert vs.sum() == CAP
+    assert (~vs).sum() == 20

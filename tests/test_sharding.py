@@ -22,13 +22,22 @@ TINY_CFG = EstimatorConfig(
 )
 
 
-def _textured_image(rng, h=96, w=128):
-    img = rng.uniform(0, 255, size=(h, w)).astype(np.float32)
-    # smooth noise + blobs so FAST finds corners
-    from scipy.ndimage import gaussian_filter
+def _textured_image(rng, h=96, w=128, cell=8):
+    # corner-rich blocky texture: FAST needs 15-step transitions, which
+    # smooth noise does not provide
+    t = rng.uniform(0, 255, (h // cell, w // cell)).astype(np.float32)
+    return t.repeat(cell, 0).repeat(cell, 1)
 
-    img = gaussian_filter(img, 2.0) * 4
-    return np.clip(img, 0, 255)
+
+def _parallax_pair(rng, h=96, w=128):
+    """Pair with two depth layers (different shifts): a single uniform shift
+    is a planar-degenerate scene whose twisted-pair solution also passes
+    cheirality — parallax makes the pose unique."""
+    img1 = _textured_image(rng, h, w)
+    img2 = img1.copy()
+    img2[: h // 2] = np.roll(img1[: h // 2], 2, axis=1)
+    img2[h // 2:] = np.roll(img1[h // 2:], 5, axis=1)
+    return img1, img2
 
 
 def test_eight_devices_available():
@@ -38,9 +47,9 @@ def test_eight_devices_available():
 def test_batched_estimator_sharded_over_pairs(rng):
     mesh = pairs_mesh()
     B = 8
-    imgs1 = np.stack([_textured_image(rng) for _ in range(B)])
-    # slight shift as "motion"
-    imgs2 = np.roll(imgs1, 2, axis=2)
+    pairs = [_parallax_pair(rng) for _ in range(B)]
+    imgs1 = np.stack([p[0] for p in pairs])
+    imgs2 = np.stack([p[1] for p in pairs])
     K = jnp.asarray(np.diag([120.0, 120.0, 1.0]).astype(np.float32))
     K = K.at[0, 2].set(64.0).at[1, 2].set(48.0)
     keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(B, dtype=jnp.uint32))

@@ -136,7 +136,7 @@ def detect_level(img, threshold: float, margin: int, quota: int):
     if _use_pallas():
         from .fast_pallas import fast_harris_rank_map
 
-        rank2d = fast_harris_rank_map(img, float(threshold))
+        rank2d, _ = fast_harris_rank_map(img, float(threshold))
     else:
         score = fast_score_map(img, threshold)
         score = nonmax_suppress_3x3(score)

@@ -39,8 +39,20 @@ def _shift(x, dy, dx, y0, rows):
     return v
 
 
+_GAUSS7 = None
+
+
+def _gauss7():
+    global _GAUSS7
+    if _GAUSS7 is None:
+        x = np.arange(-3, 4, dtype=np.float64)
+        k = np.exp(-(x * x) / (2.0 * 2.0 * 2.0))
+        _GAUSS7 = tuple(float(v) for v in (k / k.sum()))
+    return _GAUSS7
+
+
 def _fast_harris_kernel(threshold, k_harris, prev_ref, cur_ref, next_ref,
-                        out_ref):
+                        out_ref, blur_ref):
     # prev/cur/next: three consecutive TILE_ROWS x W VMEM blocks of the
     # padded image (the same array bound three times with index maps i,
     # i+1, i+2) — a halo without overlapping block windows, which the
@@ -124,15 +136,32 @@ def _fast_harris_kernel(threshold, k_harris, prev_ref, cur_ref, next_ref,
 
     out_ref[:] = jnp.where(keep, harris, -jnp.inf)
 
+    # --- fused 7x7 sigma=2 Gaussian blur (descriptor sampling image):
+    # vertical taps from the halo rows, horizontal taps as lane rolls
+    kg = _gauss7()
+    vert = None
+    for i, kv in enumerate(kg):
+        v = x[HALO - 3 + i: HALO - 3 + i + TILE_ROWS, :] * kv
+        vert = v if vert is None else vert + v
+    blur = None
+    for i, kv in enumerate(kg):
+        sh = i - 3
+        v = (pltpu.roll(vert, (-sh) % vert.shape[1], axis=1)
+             if sh else vert) * kv
+        blur = v if blur is None else blur + v
+    blur_ref[:] = blur
+
 
 @functools.partial(jax.jit, static_argnames=("threshold", "interpret"))
 def fast_harris_rank_map(img, threshold: float = 15.0, k_harris: float = 0.04,
                          interpret: bool = False):
-    """Fused rank map for one image (H, W) float32.
+    """Fused rank map + Gaussian-blurred image for one (H, W) float32 image.
 
-    Returns (H, W): harris response at surviving FAST corners, -inf
-    elsewhere. Rows are processed in TILE_ROWS blocks with a replicated-edge
-    halo; columns wrap (masked by the caller's border margin).
+    Returns (rank, blurred), both (H, W): harris response at surviving FAST
+    corners (-inf elsewhere), and the 7x7 sigma=2 blur used for descriptor
+    sampling — emitted from the same single pass over the image. Rows are
+    processed in TILE_ROWS blocks with a replicated-edge halo; columns wrap
+    (masked by the caller's border margin).
     """
     h, w = img.shape
     # pad width to the 128-lane boundary, height to a tile multiple plus one
@@ -149,14 +178,16 @@ def fast_harris_rank_map(img, threshold: float = 15.0, k_harris: float = 0.04,
                               memory_space=pltpu.VMEM)
     block_next2 = pl.BlockSpec((TILE_ROWS, wp), lambda i: (i + 2, 0),
                                memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    out_spec = pl.BlockSpec((TILE_ROWS, wp), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    rank, blur = pl.pallas_call(
         functools.partial(_fast_harris_kernel, float(threshold),
                           float(k_harris)),
-        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+                   jax.ShapeDtypeStruct((hp, wp), jnp.float32)),
         grid=grid,
         in_specs=[block, block_next, block_next2],
-        out_specs=pl.BlockSpec((TILE_ROWS, wp), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(out_spec, out_spec),
         interpret=interpret,
     )(padded, padded, padded)
-    return out[:h, :w]
+    return rank[:h, :w], blur[:h, :w]

@@ -182,10 +182,11 @@ def orb_detect_and_describe_atlas(
     if _use_pallas():
         from .fast_pallas import fast_harris_rank_map
 
-        rank = fast_harris_rank_map(atlas, float(fast_threshold))
+        rank, blurred = fast_harris_rank_map(atlas, float(fast_threshold))
     else:
         score = nonmax_suppress_3x3(fast_score_map(atlas, fast_threshold))
         rank = jnp.where(score > 0.0, harris_response_map(atlas), -jnp.inf)
+        blurred = gaussian_blur_rolled(atlas)
 
     shapes = tuple(level_shapes(h, w, nlevels, scale_factor))
     mask = _atlas_valid_mask(tuple(offsets), total, wp, shapes, EDGE_MARGIN)
@@ -227,7 +228,6 @@ def orb_detect_and_describe_atlas(
         xy_atlas, xy_base = xy_atlas[:max_kpts], xy_base[:max_kpts]
         level, score, valid = level[:max_kpts], score[:max_kpts], valid[:max_kpts]
 
-    blurred = gaussian_blur_rolled(atlas)
     ext = banded_extract(atlas, blurred, xy_atlas, valid, patch=PATCH)
 
     angle_slots = ic_angles(ext["patches_raw"])

@@ -23,7 +23,8 @@ def gray():
 
 def test_fused_fast_harris_matches_xla(gray):
     img = jnp.asarray(gray)
-    rank_p = np.asarray(fast_harris_rank_map(img, 15.0, interpret=True))
+    rank_p, blur_p = fast_harris_rank_map(img, 15.0, interpret=True)
+    rank_p = np.asarray(rank_p)
     score = nonmax_suppress_3x3(fast_score_map(img, 15.0))
     harris = harris_response_map(img)
     rank_x = np.asarray(jnp.where(score > 0.0, harris, -jnp.inf))
@@ -40,6 +41,20 @@ def test_fused_fast_harris_matches_xla(gray):
 def test_fused_kernel_odd_sizes(gray):
     # non-multiple-of-tile heights and non-128-multiple widths
     img = jnp.asarray(gray[:301, :473])
-    rank = np.asarray(fast_harris_rank_map(img, 15.0, interpret=True))
+    rank, blur = fast_harris_rank_map(img, 15.0, interpret=True)
+    rank = np.asarray(rank)
     assert rank.shape == (301, 473)
+    assert np.asarray(blur).shape == (301, 473)
     assert np.isfinite(rank).sum() > 50
+
+
+def test_fused_blur_matches_reference(gray):
+    import cv2 as _cv2
+
+    img = jnp.asarray(gray)
+    _, blur = fast_harris_rank_map(img, 15.0, interpret=True)
+    ref = _cv2.GaussianBlur(gray, (7, 7), 2.0,
+                            borderType=_cv2.BORDER_REFLECT_101)
+    m = 8  # kernel edges replicate/wrap; interior must match
+    np.testing.assert_allclose(np.asarray(blur)[m:-m, m:-m],
+                               ref[m:-m, m:-m], atol=0.05)

@@ -38,7 +38,8 @@ _EPS = 1e-20
 
 GRID = 97           # tan-spaced determinant evaluation points
 MAX_ROOTS = 10      # degree bound of the hidden-variable determinant
-BISECT_ITERS = 30   # + Gauss-Newton polish afterwards
+BISECT_ITERS = 10   # coarse root isolation only — the Gauss-Newton polish
+# on the full cubic system does the final convergence
 
 
 # ---------------------------------------------------------------------------

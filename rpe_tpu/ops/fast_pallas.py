@@ -25,9 +25,9 @@ import numpy as np
 
 from .fast import _CIRCLE
 
-TILE_ROWS = 8
+TILE_ROWS = 32
 HALO = 5            # 4 (harris: 3 box + 1 gradient) + 1 (nonmax)
-IN_ROWS = TILE_ROWS + 2 * HALO  # 18
+IN_ROWS = TILE_ROWS + 2 * HALO
 
 
 def _shift(x, dy, dx, y0, rows):

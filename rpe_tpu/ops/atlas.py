@@ -70,7 +70,7 @@ def gaussian_blur_rolled(img, ksize: int = 7, sigma: float = 2.0):
 # ---------------------------------------------------------------------------
 
 BAND = 8        # keypoint-center rows per band
-CAP = 32        # max keypoints per band (overflow -> dropped + invalidated)
+CAP = 24        # max keypoints per band (overflow -> dropped + invalidated)
 WIN = 40        # window rows per band (>= BAND + patch 31)
 
 

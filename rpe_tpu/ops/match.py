@@ -114,7 +114,9 @@ def cross_check_match(D, valid1, valid2, max_matches: int = 512):
     cand_d = jnp.where(mutual, best_d, _BIG)
     # top-k of negative distance = ascending-distance selection, index-stable.
     k = min(max_matches, cand_d.shape[0])
-    _, sel = jax.lax.top_k(-cand_d, k)
+    # hardware-accelerated approximate top-k: which marginal matches make
+    # the 500-cap is immaterial (RANSAC consumes an unordered inlier set)
+    _, sel = jax.lax.approx_max_k(-cand_d, k)
     idx1 = _pad_to(sel, max_matches, 0)
     idx2 = _pad_to(jnp.take(nn12, sel), max_matches, 0)
     dist = _pad_to(jnp.take(cand_d, sel), max_matches, _BIG)

@@ -105,11 +105,20 @@ def project_to_essential(E):
     u1 = u1 / (jnp.linalg.norm(u1, axis=-1, keepdims=True) + _EPS)
     u2 = jnp.cross(u0, u1)
     U = jnp.stack([u0, u1, u2], axis=-1)
+
+    def _det3(M):
+        # closed form — jnp.linalg.det lowers to batched LU, which is slow
+        # for thousands of tiny matrices on TPU
+        return (M[..., 0, 0] * (M[..., 1, 1] * M[..., 2, 2]
+                                - M[..., 1, 2] * M[..., 2, 1])
+                - M[..., 0, 1] * (M[..., 1, 0] * M[..., 2, 2]
+                                  - M[..., 1, 2] * M[..., 2, 0])
+                + M[..., 0, 2] * (M[..., 1, 0] * M[..., 2, 1]
+                                  - M[..., 1, 1] * M[..., 2, 0]))
+
     # Make U, V proper rotations (flip last column if det < 0).
-    detU = jnp.linalg.det(U)
-    U = U.at[..., :, 2].multiply(jnp.sign(detU)[..., None])
-    detV = jnp.linalg.det(V)
-    V = V.at[..., :, 2].multiply(jnp.sign(detV)[..., None])
+    U = U.at[..., :, 2].multiply(jnp.sign(_det3(U))[..., None])
+    V = V.at[..., :, 2].multiply(jnp.sign(_det3(V))[..., None])
     Vt = jnp.swapaxes(V, -1, -2)
     D = jnp.zeros_like(E).at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
     E_proj = jnp.matmul(U, jnp.matmul(D, Vt))

@@ -134,16 +134,20 @@ def ratio_test_match(D, valid1, valid2, ratio: float = 0.75,
     Same static-shape output contract as `cross_check_match`.
     """
     D = _masked(D, valid1, valid2)
-    # two smallest distances per row
-    neg2, idx2best = jax.lax.top_k(-D, 2)
-    d_best = -neg2[:, 0]
-    d_second = -neg2[:, 1]
+    # two smallest distances per row via two argmin passes (top_k would
+    # fully sort every 4096-wide row on TPU)
+    best_idx = jnp.argmin(D, axis=1)
+    d_best = jnp.take_along_axis(D, best_idx[:, None], axis=1)[:, 0]
+    cols = jnp.arange(D.shape[1])
+    D2 = jnp.where(cols[None, :] == best_idx[:, None], _BIG, D)
+    d_second = jnp.min(D2, axis=1)
+    idx2best = best_idx
     keep = (d_best < ratio * d_second) & valid1 & (d_best < _BIG)
     cand_d = jnp.where(keep, d_best, _BIG)
     k = min(max_matches, cand_d.shape[0])
-    _, sel = jax.lax.top_k(-cand_d, k)
+    _, sel = jax.lax.approx_max_k(-cand_d, k)
     idx1 = _pad_to(sel, max_matches, 0)
-    idx2 = _pad_to(jnp.take(idx2best[:, 0], sel), max_matches, 0)
+    idx2 = _pad_to(jnp.take(idx2best, sel), max_matches, 0)
     dist = _pad_to(jnp.take(cand_d, sel), max_matches, _BIG)
     valid = dist < _BIG
     return {"idx1": idx1, "idx2": idx2, "dist": dist, "valid": valid}

@@ -84,6 +84,11 @@ class BatchProcessor:
 
         done = self._load_checkpoint(frames, R_out, t_out, valid_out, nm_out)
 
+        from ..utils.observability import ThroughputMeter
+
+        n_chips = self.mesh.devices.size if self.mesh is not None else 1
+        meter = ThroughputMeter(n_chips=n_chips)
+        meter.start()
         for start in range(0, n_pairs, chunk):
             end = min(start + chunk, n_pairs)
             if all(i in done for i in range(start, end)):
@@ -108,6 +113,11 @@ class BatchProcessor:
             nm_out[start:end] = np.asarray(out["num_matches"])[:n]
             self._append_checkpoint(frames, range(start, end),
                                     R_out, t_out, valid_out, nm_out)
+        meter.stop(pairs=n_pairs)
+        pps = meter.pairs_per_sec_per_chip()
+        if pps > 0:
+            print(f"[INFO] Throughput: {pps:.2f} pairs/sec/chip "
+                  f"({n_pairs} pairs incl. compile)")
         return R_out, t_out, valid_out, nm_out
 
     def _load_checkpoint(self, frames, R_out, t_out, valid_out, nm_out):

@@ -118,6 +118,19 @@ def test_camera_calibration_priorities(tmp_path):
     assert K3.shape == (3, 3)
 
 
+def test_run_single_pair_method(sim_pipeline, capsys):
+    """pipeline.run_single_pair prints estimate + GT block and returns the
+    reference dict shape (reference pipeline.py:199-256)."""
+    res = sim_pipeline.run_single_pair(0, 15, show_debug=True)
+    assert set(res) == {"R", "t", "yaw", "pitch", "roll",
+                        "gt_pose1", "gt_pose2"}
+    assert res["R"].shape == (3, 3)
+    out = capsys.readouterr().out
+    assert "Estimated relative pose" in out
+    assert "Ground truth poses" in out
+    assert "[DEBUG] Number of matches:" in out
+
+
 def test_visualizer_artifacts(sim_pipeline, tmp_path):
     from rpe_tpu.viz.visualizer import Visualizer
 

@@ -17,7 +17,6 @@ Both are fully batched over leading dimensions and jit/vmap-safe.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 _EPS = 1e-20

@@ -15,7 +15,6 @@ by K and rescales the pixel threshold by the mean focal length).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 _EPS = 1e-12

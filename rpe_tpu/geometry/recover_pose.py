@@ -14,7 +14,6 @@ count toward cheirality.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .epipolar import project_to_essential

@@ -14,7 +14,6 @@ Angles are degrees at the API boundary (as in the reference).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 CONVENTION_YUP = "yup"

@@ -102,7 +102,6 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
     order = jnp.argsort(band)                                 # (K,)
     band_sorted = jnp.take(band, order)
     # slot within band; beyond CAP -> dropped
-    ones = jnp.ones_like(band_sorted)
     # position-in-run via cumsum trick: index - first-occurrence(band)
     first_idx = jnp.searchsorted(band_sorted, jnp.arange(nb))  # (NB,)
     pos = jnp.arange(k) - jnp.take(first_idx, band_sorted)

@@ -4,12 +4,15 @@ Replaces `cv2.ORB_create(nfeatures, scaleFactor=1.1, nlevels=12,
 fastThreshold=15, scoreType=ORB_HARRIS_SCORE).detectAndCompute`
 (reference: src/core/pose_estimator.py:84-108) with a fixed-shape pipeline:
 
-  1. 12-level x1.1 bilinear pyramid (ops/pyramid.py);
-  2. per level: dense FAST-9 score -> 3x3 nonmax -> Harris ranking ->
-     top-(static quota) selection (ops/fast.py). Quotas follow OpenCV's
-     geometric per-level distribution of `nfeatures`;
-  3. 31x31 patch gather per keypoint; intensity-centroid orientation on the
-     unblurred level (IC_Angle semantics: circular mask of radius 15);
+  1. 12-level x1.1 bilinear pyramid (ops/pyramid.py), packed into a single
+     atlas image on the default path (ops/atlas.py);
+  2. dense FAST-9 score -> 3x3 nonmax -> Harris ranking (one fused Pallas
+     pass on TPU) -> per-level top-(static quota) selection. Quotas follow
+     OpenCV's geometric per-level distribution of `nfeatures`;
+  3. 31x31 patch extraction per keypoint (banded one-hot einsums on the
+     atlas; dynamic-slice gathers on the legacy per-level path);
+     intensity-centroid orientation on the unblurred image (IC_Angle
+     semantics: circular mask of radius 15);
   4. steered BRIEF: a fixed 256-pair Gaussian pattern (radius <= 13,
      deterministic seed) rotated by the keypoint angle and sampled with
      nearest-neighbor from the 7x7/sigma-2 blurred level, giving one bit per

@@ -26,7 +26,6 @@ refinement, dominant orientation only.
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax

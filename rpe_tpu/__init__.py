@@ -39,6 +39,7 @@ from .pipeline.estimator import PoseEstimator, estimate_pair, estimate_pairs_bat
 from .pipeline.evaluator import PoseEvaluator
 from .pipeline.ground_truth import GroundTruthLoader
 from .pipeline.orchestrator import PoseEstimationPipeline
+from .viz.visualizer import Visualizer
 
 __version__ = "0.1.0"
 
@@ -49,6 +50,7 @@ __all__ = [
     "PoseEvaluator",
     "CameraCalibration",
     "GroundTruthLoader",
+    "Visualizer",
     "estimate_pair",
     "estimate_pairs_batched",
     "EstimatorConfig",

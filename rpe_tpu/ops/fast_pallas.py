@@ -25,9 +25,17 @@ import numpy as np
 
 from .fast import _CIRCLE
 
-TILE_ROWS = 32
 HALO = 5            # 4 (harris: 3 box + 1 gradient) + 1 (nonmax)
-IN_ROWS = TILE_ROWS + 2 * HALO
+
+
+def _tile_rows(wp: int) -> int:
+    """Largest 8-multiple tile that keeps the kernel inside scoped VMEM.
+
+    The 16 circle planes + harris intermediates scale with tile*wp; 32 rows
+    x 1280 lanes fits v5e's 16 MB, 32x1920 does not (measured OOM on the
+    1920-wide salah atlas)."""
+    budget = 32 * 1280
+    return max((budget // wp) // 8 * 8, 8)
 
 
 def _shift(x, dy, dx, y0, rows):
@@ -51,18 +59,19 @@ def _gauss7():
     return _GAUSS7
 
 
-def _fast_harris_kernel(threshold, k_harris, prev_ref, cur_ref, next_ref,
-                        out_ref, blur_ref):
+def _fast_harris_kernel(threshold, k_harris, tile, prev_ref, cur_ref,
+                        next_ref, out_ref, blur_ref):
     # prev/cur/next: three consecutive TILE_ROWS x W VMEM blocks of the
     # padded image (the same array bound three times with index maps i,
     # i+1, i+2) — a halo without overlapping block windows, which the
     # Mosaic lowering does not support. The 18-row compute window sits
     # centered inside the 3-tile stack.
     x = jnp.concatenate([prev_ref[:], cur_ref[:], next_ref[:]], axis=0)
-    x = x[TILE_ROWS - HALO: TILE_ROWS - HALO + IN_ROWS, :]
+    in_rows = tile + 2 * HALO
+    x = x[tile - HALO: tile - HALO + in_rows, :]
 
     # --- FAST score on TILE_ROWS + 2 rows (nonmax halo), centered at HALO-1
-    s_rows = TILE_ROWS + 2
+    s_rows = tile + 2
     y0 = HALO - 1
     center = x[y0: y0 + s_rows, :]
     bright = []
@@ -98,7 +107,7 @@ def _fast_harris_kernel(threshold, k_harris, prev_ref, cur_ref, next_ref,
 
     # --- Harris response on the TILE_ROWS output rows
     # gradient products on TILE_ROWS + 6 rows (box halo 3)
-    g_rows = TILE_ROWS + 6
+    g_rows = tile + 6
     gy0 = HALO - 3
     gx = (_shift(x, 0, -1, gy0, g_rows) - _shift(x, 0, 1, gy0, g_rows))
     gy = (_shift(x, -1, 0, gy0, g_rows) - _shift(x, 1, 0, gy0, g_rows))
@@ -108,9 +117,9 @@ def _fast_harris_kernel(threshold, k_harris, prev_ref, cur_ref, next_ref,
 
     def box7(v):
         # 7x7 box sum: 7 row-slices + 7 lane-rolls (separable adds)
-        rowsum = jnp.zeros((TILE_ROWS, v.shape[1]), v.dtype)
+        rowsum = jnp.zeros((tile, v.shape[1]), v.dtype)
         for dy in range(-3, 4):
-            rowsum = rowsum + v[3 + dy: 3 + dy + TILE_ROWS, :]
+            rowsum = rowsum + v[3 + dy: 3 + dy + tile, :]
         out = jnp.zeros_like(rowsum)
         for dx in range(-3, 4):
             out = out + (pltpu.roll(rowsum, (-dx) % rowsum.shape[1], axis=1)
@@ -126,12 +135,12 @@ def _fast_harris_kernel(threshold, k_harris, prev_ref, cur_ref, next_ref,
     neighborhood_max = None
     for dy in range(3):
         for dx in (-1, 0, 1):
-            v = fast_score[dy: dy + TILE_ROWS, :]
+            v = fast_score[dy: dy + tile, :]
             if dx:
                 v = pltpu.roll(v, (-dx) % v.shape[1], axis=1)
             neighborhood_max = v if neighborhood_max is None else \
                 jnp.maximum(neighborhood_max, v)
-    score_c = fast_score[1: 1 + TILE_ROWS, :]
+    score_c = fast_score[1: 1 + tile, :]
     keep = (score_c >= neighborhood_max) & (score_c > 0.0)
 
     out_ref[:] = jnp.where(keep, harris, -jnp.inf)
@@ -141,7 +150,7 @@ def _fast_harris_kernel(threshold, k_harris, prev_ref, cur_ref, next_ref,
     kg = _gauss7()
     vert = None
     for i, kv in enumerate(kg):
-        v = x[HALO - 3 + i: HALO - 3 + i + TILE_ROWS, :] * kv
+        v = x[HALO - 3 + i: HALO - 3 + i + tile, :] * kv
         vert = v if vert is None else vert + v
     blur = None
     for i, kv in enumerate(kg):
@@ -167,22 +176,23 @@ def fast_harris_rank_map(img, threshold: float = 15.0, k_harris: float = 0.04,
     # pad width to the 128-lane boundary, height to a tile multiple plus one
     # full tile of edge padding on each side (the prev/next halo blocks)
     wp = -(-w // 128) * 128
-    hp = -(-h // TILE_ROWS) * TILE_ROWS
+    tile = _tile_rows(wp)
+    hp = -(-h // tile) * tile
     padded = jnp.pad(
-        img, ((TILE_ROWS, hp - h + TILE_ROWS), (0, wp - w)), mode="edge")
+        img, ((tile, hp - h + tile), (0, wp - w)), mode="edge")
 
-    grid = (hp // TILE_ROWS,)
-    block = pl.BlockSpec((TILE_ROWS, wp), lambda i: (i, 0),
+    grid = (hp // tile,)
+    block = pl.BlockSpec((tile, wp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
-    block_next = pl.BlockSpec((TILE_ROWS, wp), lambda i: (i + 1, 0),
+    block_next = pl.BlockSpec((tile, wp), lambda i: (i + 1, 0),
                               memory_space=pltpu.VMEM)
-    block_next2 = pl.BlockSpec((TILE_ROWS, wp), lambda i: (i + 2, 0),
+    block_next2 = pl.BlockSpec((tile, wp), lambda i: (i + 2, 0),
                                memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((TILE_ROWS, wp), lambda i: (i, 0),
+    out_spec = pl.BlockSpec((tile, wp), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     rank, blur = pl.pallas_call(
         functools.partial(_fast_harris_kernel, float(threshold),
-                          float(k_harris)),
+                          float(k_harris), tile),
         out_shape=(jax.ShapeDtypeStruct((hp, wp), jnp.float32),
                    jax.ShapeDtypeStruct((hp, wp), jnp.float32)),
         grid=grid,

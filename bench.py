@@ -1,7 +1,8 @@
 """Throughput benchmark: image pairs/sec/chip on KITTI-sized frames.
 
 Runs the fused batched estimator (full default config: ORB-4000 x 12 levels,
-500 cross-checked matches, 2048-hypothesis RANSAC, cheirality recoverPose)
+500 cross-checked matches, 256-sample 5pt Nister RANSAC, cheirality
+recoverPose)
 on 1241x376 grayscale pairs — the BASELINE.json north-star configuration —
 on the default JAX platform (the real TPU chip under the driver).
 

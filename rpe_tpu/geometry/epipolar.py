@@ -64,8 +64,9 @@ def eight_point(pts1, pts2, weights=None):
     9x9 symmetric eigendecomposition batches onto TPU cleanly (XLA eigh),
     unlike a tall-skinny SVD per hypothesis.
 
-    An isotropic Hartley rescaling of each point set is applied for
-    conditioning (points are already roughly centered after K^-1).
+    No explicit Hartley rescaling is performed: the K^-1 normalization
+    already centers points near the origin at ~unit scale, which is the
+    conditioning Hartley rescaling provides for pixel coordinates.
     """
     from .eig import smallest_eigvec_sym
 

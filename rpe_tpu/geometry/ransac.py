@@ -124,7 +124,24 @@ def ransac_essential(
     # MSAC-style tie-break: among equal counts prefer lower truncated loss.
     trunc = jnp.sum(jnp.minimum(d2, thr2) * valid_mask[None, :], axis=-1)
     score = counts.astype(jnp.float32) - trunc / (trunc.max() + 1.0)
-    best = jnp.argmax(score)
+
+    # Cheirality re-rank of the top hypotheses. With few points (minimal
+    # N=5 pairs) or ambiguous geometry, several essential roots fit every
+    # inlier with ~zero Sampson error and counts/loss cannot separate
+    # them; only the true model reconstructs points in front of both
+    # cameras (the disambiguation cv2.recoverPose performs downstream,
+    # reference pose_estimator.py:522-533). Lexicographic selection:
+    # inlier count, then cheirality votes, then MSAC score (top_k returns
+    # score-descending order and argmax takes the first maximum).
+    from .recover_pose import cheirality_votes
+
+    k = min(8, int(E_h.shape[0]))
+    _, top_idx = jax.lax.top_k(score, k)
+    votes_top = jax.vmap(
+        lambda Ei: cheirality_votes(Ei, pts1_n, pts2_n, valid_mask)
+    )(E_h[top_idx])
+    sel = counts[top_idx] * jnp.int32(n + 1) + votes_top
+    best = top_idx[jnp.argmax(sel)]
 
     E_best = E_h[best]
     inlier_mask = inliers_h[best]
@@ -149,7 +166,13 @@ def ransac_essential(
     )
 
     num_inliers = jnp.sum(inlier_mask.astype(jnp.int32))
-    ok = (num_valid >= 8) & (num_inliers >= 5)
+    # Gate on the solver's minimal sample size: the reference succeeds with
+    # as few as 5 matches on the 5pt path (src/core/pose_estimator.py:514;
+    # cv2.findEssentialMat's 5pt solver works at N=5). The weighted-8pt
+    # refit above guards itself with its own >=8 check, so a 5-7 match pair
+    # simply keeps the minimal model.
+    min_valid = 5 if solver == "5pt" else 8
+    ok = (num_valid >= min_valid) & (num_inliers >= 5)
     return {
         "E": E_best,
         "inlier_mask": inlier_mask,

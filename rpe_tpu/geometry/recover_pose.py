@@ -63,6 +63,27 @@ def triangulate_depths(R, t, pts1_n, pts2_n):
     return z1, z2
 
 
+def cheirality_votes(E, pts1_n, pts2_n, valid_mask, dist_thresh=50.0):
+    """Best cheirality vote count over E's four (R, t) candidates.
+
+    Cheap scalar used to re-rank competing essential hypotheses inside
+    RANSAC: every root of an exact minimal problem fits all sample points
+    (zero Sampson error), but only the true model reconstructs the points
+    in FRONT of both cameras — the disambiguation cv2.recoverPose performs
+    after cv2.findEssentialMat in the reference (pose_estimator.py:522-533).
+    """
+    R1, R2, t = decompose_essential(E)
+    Rs = jnp.stack([R1, R1, R2, R2], axis=0)
+    ts = jnp.stack([t, -t, t, -t], axis=0)
+    z1, z2 = triangulate_depths(Rs, ts, pts1_n, pts2_n)
+    good = (
+        (z1 > 0.0) & (z2 > 0.0)
+        & (z1 < dist_thresh) & (z2 < dist_thresh)
+        & valid_mask[None, :]
+    )
+    return jnp.max(jnp.sum(good.astype(jnp.int32), axis=-1))
+
+
 def recover_pose(E, pts1_n, pts2_n, valid_mask, dist_thresh=50.0):
     """Select the cheirality-consistent (R, t) from E's four candidates.
 

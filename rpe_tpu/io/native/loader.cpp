@@ -56,8 +56,13 @@ int paeth(int a, int b, int c) {
   return c;
 }
 
-// Decode one PNG from memory. Returns 0 on success.
-int decode_png(const uint8_t* buf, size_t len, PngImage* out) {
+// Decode one PNG from memory. Returns 0 on success. When expected_w/h are
+// nonzero, the IHDR dimensions are validated against them BEFORE any
+// pixel-buffer allocation, so a corrupt file declaring huge dimensions
+// cannot drive a multi-GB allocation (std::bad_alloc escaping a worker
+// thread would std::terminate the process).
+int decode_png(const uint8_t* buf, size_t len, PngImage* out,
+               uint32_t expected_w = 0, uint32_t expected_h = 0) {
   static const uint8_t kSig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
   if (len < 8 || memcmp(buf, kSig, 8) != 0) return 1;
   Reader r{buf, len, 8};
@@ -84,6 +89,11 @@ int decode_png(const uint8_t* buf, size_t len, PngImage* out) {
       color_type = data[9];
       interlace = data[12];
       if (bit_depth != 8 || interlace != 0) return 4;  // out of scope
+      if (expected_w && w != expected_w) return 10;
+      if (expected_h && h != expected_h) return 10;
+      // Absolute sanity bound even without expectations (probe path):
+      // 2^26 pixels ≈ 67 MP caps the allocation at ~256 MB RGBA.
+      if (uint64_t(w) * h > (1ull << 26)) return 10;
     } else if (!strcmp(ctype, "PLTE")) {
       palette.assign(data, data + clen);
     } else if (!strcmp(ctype, "IDAT")) {
@@ -236,8 +246,16 @@ int rpe_decode_batch(const char** paths, int n, int w, int h,
       if (i >= n || failed.load()) return;
       auto buf = read_file(paths[i]);
       PngImage img;
-      if (buf.empty() || decode_png(buf.data(), buf.size(), &img) != 0 ||
-          int(img.w) != w || int(img.h) != h) {
+      bool ok = false;
+      try {
+        ok = !buf.empty() &&
+             decode_png(buf.data(), buf.size(), &img, uint32_t(w),
+                        uint32_t(h)) == 0 &&
+             int(img.w) == w && int(img.h) == h;
+      } catch (...) {
+        ok = false;  // bad_alloc etc. -> per-file failure, not terminate
+      }
+      if (!ok) {
         int expected = 0;
         failed.compare_exchange_strong(expected, i + 1);
         return;

@@ -60,6 +60,18 @@ class BatchProcessor:
         """{idx:06d}.png path (reference batch_processor.py:131-141)."""
         return self.images_dir / f"{frame_idx:06d}.png"
 
+    def _config_hash(self) -> str:
+        """Hash of everything that determines per-pair results: estimator
+        config (solver, nfeatures, thresholds, ...), K, seed, convention.
+        Stored in the checkpoint header so a stale checkpoint written under
+        a different configuration at the same path is never reused."""
+        import hashlib
+
+        K = np.asarray(self.pose_estimator.K, dtype=np.float64)
+        payload = (f"{self.pose_estimator.config!r}|{K.tobytes().hex()}|"
+                   f"{self.seed}|{self.euler_convention}")
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
     def _estimate_all_pairs(self, frames, imgs):
         """Estimate every consecutive pair; returns per-pair arrays."""
         n_pairs = len(frames) - 1
@@ -111,13 +123,17 @@ class BatchProcessor:
             t_out[start:end] = np.asarray(out["t"])[:n]
             valid_out[start:end] = np.asarray(out["valid"])[:n]
             nm_out[start:end] = np.asarray(out["num_matches"])[:n]
+            meter.lap(pairs=n)  # np.asarray above is the transfer barrier
             self._append_checkpoint(frames, range(start, end),
                                     R_out, t_out, valid_out, nm_out)
         meter.stop(pairs=n_pairs)
         pps = meter.pairs_per_sec_per_chip()
+        steady = meter.steady_pairs_per_sec_per_chip()
         if pps > 0:
+            extra = (f", {steady:.2f} steady-state (compile excluded)"
+                     if steady > 0 else "")
             print(f"[INFO] Throughput: {pps:.2f} pairs/sec/chip "
-                  f"({n_pairs} pairs incl. compile)")
+                  f"({meter.pairs} pairs incl. compile{extra})")
         return R_out, t_out, valid_out, nm_out
 
     def _load_checkpoint(self, frames, R_out, t_out, valid_out, nm_out):
@@ -130,7 +146,25 @@ class BatchProcessor:
         if self.checkpoint_path is None or not self.checkpoint_path.exists():
             return done
         n_pairs = len(frames) - 1
-        for line in self.checkpoint_path.read_text().splitlines():
+        lines = self.checkpoint_path.read_text().splitlines()
+        # First record must be a header carrying the config hash of the run
+        # that wrote the file; anything else (or a mismatch) means the
+        # checkpoint came from a different configuration — discard it so
+        # results from mixed configs can never be merged.
+        want = self._config_hash()
+        header_ok = False
+        if lines:
+            try:
+                header_ok = json.loads(lines[0]).get("config_hash") == want
+            except json.JSONDecodeError:
+                pass
+        if not header_ok:
+            print(f"[WARN] Checkpoint {self.checkpoint_path} was written "
+                  f"with a different config (or has no header); discarding")
+            self.checkpoint_path.write_text(
+                json.dumps({"config_hash": want}) + "\n")
+            return done
+        for line in lines[1:]:
             try:
                 rec = json.loads(line)
             except json.JSONDecodeError:
@@ -155,6 +189,9 @@ class BatchProcessor:
         import json
 
         self.checkpoint_path.parent.mkdir(parents=True, exist_ok=True)
+        if not self.checkpoint_path.exists():
+            self.checkpoint_path.write_text(
+                json.dumps({"config_hash": self._config_hash()}) + "\n")
         with open(self.checkpoint_path, "a") as f:
             for i in pair_range:
                 f.write(json.dumps({

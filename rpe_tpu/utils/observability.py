@@ -73,27 +73,56 @@ class StageTimer:
 
 
 class ThroughputMeter:
-    """pairs/sec/chip counter (BASELINE.md north-star metric)."""
+    """pairs/sec/chip counter (BASELINE.md north-star metric).
+
+    Two readings: the total rate (includes the first dispatch's compile,
+    which on the tunneled TPU backend is minutes of remote compilation) and
+    the steady-state rate (laps after the first), so CLI output does not
+    understate the real per-pair rate. Record each dispatch with `lap()`.
+    """
 
     def __init__(self, n_chips: int = 1):
         self.n_chips = n_chips
         self.pairs = 0
         self.elapsed = 0.0
+        self.laps: list[tuple[int, float]] = []  # (pairs, seconds)
         self._t0 = None
 
     def start(self):
         self._t0 = time.perf_counter()
+
+    def lap(self, pairs: int, sync_on=None):
+        """Record one dispatch of `pairs` pairs since start()/last lap()."""
+        if sync_on is not None:
+            sync(sync_on)
+        t = time.perf_counter()
+        self.laps.append((pairs, t - self._t0))
+        self._t0 = t
 
     def stop(self, pairs: int, sync_on=None):
         if sync_on is not None:
             sync(sync_on)
         self.elapsed += time.perf_counter() - self._t0
         self.pairs += pairs
+        if self.laps:
+            # start()/lap() usage: laps carry the truth; fold them in.
+            self.pairs = sum(p for p, _ in self.laps)
+            self.elapsed = sum(t for _, t in self.laps)
 
     def pairs_per_sec_per_chip(self) -> float:
         if self.elapsed <= 0:
             return 0.0
         return self.pairs / self.elapsed / self.n_chips
+
+    def steady_pairs_per_sec_per_chip(self) -> float:
+        """Rate excluding the first lap (compile + warmup). 0.0 if <2 laps."""
+        if len(self.laps) < 2:
+            return 0.0
+        p = sum(l[0] for l in self.laps[1:])
+        t = sum(l[1] for l in self.laps[1:])
+        if t <= 0:
+            return 0.0
+        return p / t / self.n_chips
 
 
 @contextlib.contextmanager

@@ -39,7 +39,11 @@ def test_checkpoint_resume_skips_computation(processor_factory):
     bp1 = make(ckpt)
     r1 = bp1.process_sequence(frames)
     assert ckpt.exists()
-    assert len(ckpt.read_text().splitlines()) == 4
+    lines = ckpt.read_text().splitlines()
+    assert len(lines) == 5  # config-hash header + 4 pair records
+    import json
+
+    assert "config_hash" in json.loads(lines[0])
 
     # second run must restore everything from the checkpoint without a
     # single estimator dispatch
@@ -57,6 +61,29 @@ def test_checkpoint_resume_skips_computation(processor_factory):
     np.testing.assert_allclose(
         np.stack(r1["R"]), np.stack(r2["R"]), atol=1e-12)
     np.testing.assert_array_equal(r1["valid"], r2["valid"])
+
+
+def test_checkpoint_rejects_different_config(processor_factory):
+    """A checkpoint written under a different estimator config (here: seed)
+    at the same path must be discarded, not silently merged."""
+    make, ckpt = processor_factory
+    frames = [0, 15, 30]
+    bp1 = make(ckpt)
+    bp1.process_sequence(frames)
+
+    bp2 = make(ckpt)
+    bp2.seed = 1234  # part of the config hash
+    calls = []
+    import rpe_tpu.pipeline.batch as batch_mod
+
+    orig = batch_mod.estimate_pairs_batched
+    batch_mod.estimate_pairs_batched = (
+        lambda *a, **k: calls.append(1) or orig(*a, **k))
+    try:
+        bp2.process_sequence(frames)
+    finally:
+        batch_mod.estimate_pairs_batched = orig
+    assert calls, "stale-config checkpoint must force recomputation"
 
 
 def test_checkpoint_ignores_stale_frames(processor_factory):

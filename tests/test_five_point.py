@@ -99,6 +99,52 @@ def test_all_returned_roots_satisfy_the_minimal_problem(rng):
             assert d.max() < 1e-8
 
 
+def test_ransac_5pt_succeeds_with_exactly_five_matches(rng):
+    """Reference parity: cv2.findEssentialMat's 5pt path works at N=5
+    (src/core/pose_estimator.py:514 requires only >=5 matches). At exactly
+    5 points the solution is inherently ambiguous (up to 10 essential roots
+    fit all 5 points with zero error, and several are fully cheirality-
+    consistent — OpenCV has the same ambiguity), so the contract is: ok=True
+    and a model consistent with every match, not the unique true pose."""
+    for trial in range(5):
+        p1, p2, _, _, _ = _minimal_problem(rng)
+        res = ransac_essential(
+            jax.random.PRNGKey(trial), jnp.asarray(p1), jnp.asarray(p2),
+            jnp.ones(5, bool), 1.0 / 700.0,
+            num_hypotheses=64, solver="5pt")
+        assert bool(res["ok"])
+        assert int(res["num_inliers"]) == 5
+        d = np.asarray(sampson_error_sq(
+            res["E"], jnp.asarray(p1), jnp.asarray(p2)))
+        assert d.max() < 1e-6, "returned model must fit all 5 matches"
+
+
+def test_ransac_5pt_exact_pose_with_six_and_seven_matches(rng):
+    """6-7 matches (below the old >=8 floor) disambiguate the root set:
+    the true pose must be recovered exactly on noise-free data."""
+    for n in (6, 7):
+        for trial in range(3):
+            p1, p2, _, R_gt, _ = _minimal_problem(rng, n=n)
+            res = ransac_essential(
+                jax.random.PRNGKey(trial), jnp.asarray(p1), jnp.asarray(p2),
+                jnp.ones(n, bool), 1.0 / 700.0,
+                num_hypotheses=64, solver="5pt")
+            assert bool(res["ok"])
+            R, _, _, _ = recover_pose(res["E"], jnp.asarray(p1),
+                                      jnp.asarray(p2), res["inlier_mask"])
+            err = float(rotation_error(R, jnp.asarray(R_gt)))
+            assert err < 0.1, f"n={n} trial={trial}: {err:.3f} deg"
+
+
+def test_ransac_8pt_still_requires_eight(rng):
+    """The 8pt path keeps its >=8 floor: 5 matches -> ok=False."""
+    p1, p2, _, _, _ = _minimal_problem(rng)
+    res = ransac_essential(
+        jax.random.PRNGKey(0), jnp.asarray(p1), jnp.asarray(p2),
+        jnp.ones(5, bool), 1.0 / 700.0, num_hypotheses=64, solver="8pt")
+    assert not bool(res["ok"])
+
+
 def test_ransac_5pt_pose_accuracy(rng):
     K = np.array([[700.0, 0, 320], [0, 700.0, 240], [0, 0, 1]])
     w = rng.normal(size=3)

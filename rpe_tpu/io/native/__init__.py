@@ -39,6 +39,10 @@ def _load():
                                  ctypes.POINTER(ctypes.c_int),
                                  ctypes.POINTER(ctypes.c_int)]
     lib.rpe_png_dims.restype = ctypes.c_int
+    lib.rpe_image_dims.argtypes = [ctypes.c_char_p,
+                                   ctypes.POINTER(ctypes.c_int),
+                                   ctypes.POINTER(ctypes.c_int)]
+    lib.rpe_image_dims.restype = ctypes.c_int
     lib.rpe_decode_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
@@ -57,16 +61,18 @@ def decode_batch(paths, to_gray: bool = True, nthreads: int = 0) -> np.ndarray:
     n = len(paths)
     if n == 0:
         raise ValueError("empty path list")
-    # Some datasets ship JPEGs with .png extensions (phone-data,
-    # vo_dataset_salah); only real PNGs take the native path — callers
+    # PNGs and baseline JPEGs both decode natively (the phone/salah
+    # datasets ship JPEG streams under .png names); rc=2 means a JPEG
+    # variant the native decoder doesn't cover (e.g. progressive) — callers
     # (io/image_loader.load_image_batch) fall back to PIL on this error.
-    with open(paths[0], "rb") as f:
-        if f.read(8) != b"\x89PNG\r\n\x1a\n":
-            raise RuntimeError(f"not a PNG (native loader): {paths[0]}")
     w = ctypes.c_int()
     h = ctypes.c_int()
-    if lib.rpe_png_dims(paths[0].encode(), ctypes.byref(w),
-                        ctypes.byref(h)) != 0:
+    rc0 = lib.rpe_image_dims(paths[0].encode(), ctypes.byref(w),
+                             ctypes.byref(h))
+    if rc0 == 2:
+        raise RuntimeError(
+            f"unsupported JPEG variant (native loader): {paths[0]}")
+    if rc0 != 0:
         raise FileNotFoundError(f"Could not read image from: {paths[0]}")
     W, H = w.value, h.value
     ch = 1 if to_gray else 3

@@ -25,7 +25,9 @@ class OrbConfig:
 @dataclasses.dataclass(frozen=True)
 class SiftConfig:
     nfeatures: int = 4000
-    noctaves: int = 4
+    # cv2 runs octaves down to ~8 px; 6 covers cv2 octaves -1..4 (larger
+    # sizes contribute a handful of keypoints on these image sizes)
+    noctaves: int = 6
     scales_per_octave: int = 3
     contrast_threshold: float = 0.04
     edge_threshold: float = 10.0

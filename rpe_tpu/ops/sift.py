@@ -20,8 +20,11 @@ src/core/pose_estimator.py:93-94) with a fixed-shape pipeline:
      scale-invariant).
 
 Differences vs OpenCV (pose-level parity is the contract, SURVEY.md §7):
-fixed sample grids instead of per-pixel windows, single-step subpixel
-refinement, dominant orientation only.
+fixed bilinear sample grids instead of per-pixel windows, and static
+per-octave keypoint quotas instead of a global retainBest. Subpixel
+refinement is the full iterative relocation (5 steps, like
+adjustLocalExtrema), keypoints sample their own layer's gradients, and
+secondary orientation peaks >= 0.8*max emit extra keypoints as in cv2.
 """
 
 from __future__ import annotations
@@ -49,7 +52,10 @@ _EDGE_R = 10.0
 def _blur(img, sigma):
     if sigma <= 0.0:
         return img
-    ksize = int(2 * round(3.0 * sigma) + 1)
+    # OpenCV GaussianBlur auto-ksize for float images truncates at 4 sigma
+    # (8*sigma+1 wide); borderline contrast/edge decisions track cv2's only
+    # with the same kernel support.
+    ksize = int(2 * round(4.0 * sigma) + 1)
     k = _gaussian_kernel1d(ksize, sigma)
     r = ksize // 2
     x = jnp.pad(img, ((r, r), (0, 0)), mode="reflect")
@@ -91,18 +97,68 @@ def _octave_quotas(max_kpts: int, noctaves: int):
     return quotas
 
 
-def _detect_octave(gauss, dogs, quota, border=8):
-    """Extrema + refinement on one octave.
+_MAX_INTERP_STEPS = 5     # OpenCV SIFT_MAX_INTERP_STEPS
+
+
+def _cube_derivs(c):
+    """Finite-difference gradient/Hessian of a (Q, 3, 3, 3) DoG cube
+    indexed [ds, dy, dx] with the sample at the center."""
+    dx_ = (c[:, 1, 1, 2] - c[:, 1, 1, 0]) * 0.5
+    dy_ = (c[:, 1, 2, 1] - c[:, 1, 0, 1]) * 0.5
+    ds_ = (c[:, 2, 1, 1] - c[:, 0, 1, 1]) * 0.5
+    ctr = c[:, 1, 1, 1]
+    dxx = c[:, 1, 1, 2] + c[:, 1, 1, 0] - 2 * ctr
+    dyy = c[:, 1, 2, 1] + c[:, 1, 0, 1] - 2 * ctr
+    dss = c[:, 2, 1, 1] + c[:, 0, 1, 1] - 2 * ctr
+    dxy = (c[:, 1, 2, 2] - c[:, 1, 2, 0] - c[:, 1, 0, 2] + c[:, 1, 0, 0]) * 0.25
+    dxs = (c[:, 2, 1, 2] - c[:, 2, 1, 0] - c[:, 0, 1, 2] + c[:, 0, 1, 0]) * 0.25
+    dys = (c[:, 2, 2, 1] - c[:, 2, 0, 1] - c[:, 0, 2, 1] + c[:, 0, 0, 1]) * 0.25
+    return ctr, (dx_, dy_, ds_), (dxx, dyy, dss, dxy, dxs, dys)
+
+
+def _solve_offset(g, H):
+    """off = -H^-1 g for the symmetric 3x3 Hessian (adjugate closed form)."""
+    gx, gy, gs = g
+    a, e, i_, b_, c, f = H
+    det = (a * (e * i_ - f * f) - b_ * (b_ * i_ - f * c)
+           + c * (b_ * f - e * c))
+    inv_ok = jnp.abs(det) > 1e-12
+    det = jnp.where(inv_ok, det, 1.0)
+    A00 = e * i_ - f * f
+    A01 = c * f - b_ * i_
+    A02 = b_ * f - c * e
+    A11 = a * i_ - c * c
+    A12 = c * b_ - a * f
+    A22 = a * e - b_ * b_
+    offx = -(A00 * gx + A01 * gy + A02 * gs) / det
+    offy = -(A01 * gx + A11 * gy + A12 * gs) / det
+    offs = -(A02 * gx + A12 * gy + A22 * gs) / det
+    return offx, offy, offs, inv_ok
+
+
+def _detect_octave(gauss, dogs, quota, border=5):
+    """Extrema + OpenCV-style iterative subpixel relocation on one octave.
 
     gauss: list of (H, W) Gaussian levels; dogs: (s+2) DoG maps.
-    Returns xy (Q, 2 float, octave coords), level_scale (Q,), layer (Q,),
-    score (Q,), valid (Q,).
+    Returns xy (Q, 2 float, octave coords), layer (Q, float), score (Q,),
+    valid (Q,), layer_int (Q, int32 in [1, _S]) for gradient-plane choice.
+
+    Dense 26-neighbor extrema feed a static top-`quota` selection; the
+    selected candidates then run OpenCV's adjustLocalExtrema loop (up to 5
+    integer relocations of (x, y, layer) when any quadratic offset exceeds
+    0.5, discarding non-converged points) via per-candidate 3x3x3 cube
+    gathers — the dense one-step-and-clip approximation left ~12% of
+    cv2's keypoints unreproduced (PARITY.md round-1 measurement).
     """
     h, w = dogs[0].shape
     D = jnp.stack(dogs, axis=0)  # (s+2, H, W)
     prethr = 0.5 * 0.04 / _S
 
-    cands_xy, cands_val, cands_layer, cands_off = [], [], [], []
+    cands_val = []
+    ys_g = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs_g = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    bmask = ((ys_g >= border) & (ys_g < h - border)
+             & (xs_g >= border) & (xs_g < w - border))
     for k in range(1, _S + 1):
         d = D[k]
         neigh = []
@@ -115,103 +171,119 @@ def _detect_octave(gauss, dogs, quota, border=8):
         n = jnp.stack(neigh, axis=0)
         is_max = (d > jnp.max(n, axis=0)) & (d > prethr)
         is_min = (d < jnp.min(n, axis=0)) & (d < -prethr)
-        ext = is_max | is_min
+        ext = (is_max | is_min) & bmask
+        cands_val.append(jnp.where(ext, jnp.abs(d), 0.0))
 
-        # one-step 3D quadratic refinement (finite differences)
-        dxx = jnp.roll(d, -1, 1) + jnp.roll(d, 1, 1) - 2 * d
-        dyy = jnp.roll(d, -1, 0) + jnp.roll(d, 1, 0) - 2 * d
-        dss = D[k + 1] + D[k - 1] - 2 * d
-        dx_ = (jnp.roll(d, -1, 1) - jnp.roll(d, 1, 1)) * 0.5
-        dy_ = (jnp.roll(d, -1, 0) - jnp.roll(d, 1, 0)) * 0.5
-        ds_ = (D[k + 1] - D[k - 1]) * 0.5
-        dxy = (jnp.roll(jnp.roll(d, -1, 0), -1, 1)
-               - jnp.roll(jnp.roll(d, -1, 0), 1, 1)
-               - jnp.roll(jnp.roll(d, 1, 0), -1, 1)
-               + jnp.roll(jnp.roll(d, 1, 0), 1, 1)) * 0.25
-        dxs = (jnp.roll(D[k + 1], -1, 1) - jnp.roll(D[k + 1], 1, 1)
-               - jnp.roll(D[k - 1], -1, 1) + jnp.roll(D[k - 1], 1, 1)) * 0.25
-        dys = (jnp.roll(D[k + 1], -1, 0) - jnp.roll(D[k + 1], 1, 0)
-               - jnp.roll(D[k - 1], -1, 0) + jnp.roll(D[k - 1], 1, 0)) * 0.25
-
-        # solve H * off = -g (3x3 symmetric, closed-form via adjugate)
-        a, b_, c = dxx, dxy, dxs
-        e, f = dyy, dys
-        i_ = dss
-        det = (a * (e * i_ - f * f) - b_ * (b_ * i_ - f * c)
-               + c * (b_ * f - e * c))
-        inv_ok = jnp.abs(det) > 1e-12
-        det = jnp.where(inv_ok, det, 1.0)
-        # adjugate rows for symmetric H = [[a,b,c],[b,e,f],[c,f,i]]
-        A00 = e * i_ - f * f
-        A01 = c * f - b_ * i_
-        A02 = b_ * f - c * e
-        A11 = a * i_ - c * c
-        A12 = c * b_ - a * f
-        A22 = a * e - b_ * b_
-        gx, gy, gs = dx_, dy_, ds_
-        offx = -(A00 * gx + A01 * gy + A02 * gs) / det
-        offy = -(A01 * gx + A11 * gy + A12 * gs) / det
-        offs = -(A02 * gx + A12 * gy + A22 * gs) / det
-        offx = jnp.clip(offx, -0.5, 0.5)
-        offy = jnp.clip(offy, -0.5, 0.5)
-        offs = jnp.clip(offs, -0.5, 0.5)
-        d_hat = d + 0.5 * (gx * offx + gy * offy + gs * offs)
-
-        # contrast + edge rejection
-        contrast_ok = jnp.abs(d_hat) * _S >= 0.04
-        tr = dxx + dyy
-        det2 = dxx * dyy - dxy * dxy
-        edge_ok = (det2 > 0) & (tr * tr * _EDGE_R <
-                                (_EDGE_R + 1) ** 2 * det2)
-
-        ys_g = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-        xs_g = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-        bmask = ((ys_g >= border) & (ys_g < h - border)
-                 & (xs_g >= border) & (xs_g < w - border))
-        ok = ext & contrast_ok & edge_ok & inv_ok & bmask
-
-        cands_xy.append((xs_g + offx, ys_g + offy))
-        cands_val.append(jnp.where(ok, jnp.abs(d_hat), 0.0))
-        cands_layer.append(k + offs)
-
-    # top-quota across the 3 layers
     val = jnp.stack(cands_val, 0).reshape(-1)            # (3*H*W,)
-    scores, flat = jax.lax.top_k(val, quota)
-    layer_idx = flat // (h * w)
+    scores0, flat = jax.lax.top_k(val, quota)
     pix = flat % (h * w)
+    kk = (flat // (h * w)).astype(jnp.int32) + 1         # layer in [1, _S]
     py = (pix // w).astype(jnp.int32)
     px = (pix % w).astype(jnp.int32)
-    xs = jnp.stack([cands_xy[k][0] for k in range(_S)], 0).reshape(-1)[flat]
-    ys = jnp.stack([cands_xy[k][1] for k in range(_S)], 0).reshape(-1)[flat]
-    lay = jnp.stack(cands_layer, 0).reshape(-1)[flat]    # continuous layer
-    valid = scores > 0.0
-    xy = jnp.stack([xs, ys], axis=-1)
-    return xy, lay, scores, valid, (py, px, layer_idx)
+    alive = scores0 > 0.0
+
+    doff = jnp.arange(-1, 2)
+
+    def cube_at(kc, yc, xc):
+        KK = kc[:, None, None, None] + doff[None, :, None, None]
+        YY = yc[:, None, None, None] + doff[None, None, :, None]
+        XX = xc[:, None, None, None] + doff[None, None, None, :]
+        return D[jnp.clip(KK, 0, _S + 1),
+                 jnp.clip(YY, 0, h - 1),
+                 jnp.clip(XX, 0, w - 1)]
+
+    offx = jnp.zeros_like(scores0)
+    offy = jnp.zeros_like(scores0)
+    offs = jnp.zeros_like(scores0)
+    converged = jnp.zeros_like(alive)
+    for _step in range(_MAX_INTERP_STEPS):
+        c = cube_at(kk, py, px)
+        _, g, H = _cube_derivs(c)
+        ox, oy, os_, inv_ok = _solve_offset(g, H)
+        upd = alive & ~converged
+        offx = jnp.where(upd, ox, offx)
+        offy = jnp.where(upd, oy, offy)
+        offs = jnp.where(upd, os_, offs)
+        conv_now = ((jnp.abs(ox) < 0.5) & (jnp.abs(oy) < 0.5)
+                    & (jnp.abs(os_) < 0.5))
+        converged = converged | (upd & conv_now)
+        move = upd & ~conv_now
+        px = jnp.where(move, px + jnp.round(ox).astype(jnp.int32), px)
+        py = jnp.where(move, py + jnp.round(oy).astype(jnp.int32), py)
+        kk = jnp.where(move, kk + jnp.round(os_).astype(jnp.int32), kk)
+        in_range = ((kk >= 1) & (kk <= _S)
+                    & (px >= border) & (px < w - border)
+                    & (py >= border) & (py < h - border))
+        alive = alive & in_range & inv_ok
+    alive = alive & converged
+
+    # final contrast + edge checks at the converged position (OpenCV order)
+    c = cube_at(kk, py, px)
+    ctr, g, H = _cube_derivs(c)
+    dxx, dyy, _, dxy, _, _ = H[0], H[1], H[2], H[3], H[4], H[5]
+    d_hat = ctr + 0.5 * (g[0] * offx + g[1] * offy + g[2] * offs)
+    contrast_ok = jnp.abs(d_hat) * _S >= 0.04
+    tr = dxx + dyy
+    det2 = dxx * dyy - dxy * dxy
+    edge_ok = (det2 > 0) & (tr * tr * _EDGE_R < (_EDGE_R + 1) ** 2 * det2)
+    valid = alive & contrast_ok & edge_ok
+
+    xy = jnp.stack([px.astype(jnp.float32) + offx,
+                    py.astype(jnp.float32) + offy], axis=-1)
+    lay = kk.astype(jnp.float32) + offs
+    score = jnp.where(valid, jnp.abs(d_hat), 0.0)
+    return xy, lay, score, valid, kk
 
 
-def _orientation(gradx, grady, xy, scl, valid):
-    """Dominant gradient orientation per keypoint (radians).
+def _bilinear_sample_stack(imgs, li, xs, ys):
+    """Bilinear sample from a per-query plane of a stack.
 
-    gradx/grady: per-layer gradient images indexed by nearest layer;
-    here a single representative layer per keypoint (gathered outside).
+    imgs: (L, H, W); li: (Q,) int32 plane index; xs, ys: (Q, P) coords.
+    """
+    _, h, w = imgs.shape
+    xs = jnp.clip(xs, 0.0, w - 1.001)
+    ys = jnp.clip(ys, 0.0, h - 1.001)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    fx = xs - x0
+    fy = ys - y0
+    L = li[:, None]
+    v00 = imgs[L, y0, x0]
+    v01 = imgs[L, y0, x0 + 1]
+    v10 = imgs[L, y0 + 1, x0]
+    v11 = imgs[L, y0 + 1, x0 + 1]
+    return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
+            + v10 * (1 - fx) * fy + v11 * fx * fy)
+
+
+def _orientation(gradx, grady, li, xy, scl, valid):
+    """Gradient orientation(s) per keypoint (radians).
+
+    gradx/grady: (L, H, W) per-layer gradient stacks; li: (Q,) int32 layer
+    index — each keypoint samples its own Gaussian layer's gradients
+    (OpenCV calcOrientationHist operates on the keypoint's layer; the
+    round-1 shared-plane shortcut cost orientation accuracy, PARITY.md).
     xy: (Q, 2) octave coords; scl: (Q,) scale in octave coords.
+
+    Returns (theta1, theta2, has2): the dominant orientation and, when a
+    second local histogram peak reaches 80% of the max (OpenCV
+    SIFT_ORI_PEAK_RATIO), a secondary orientation that becomes an extra
+    keypoint — cv2.SIFT emits one keypoint per qualifying peak.
     """
     q = xy.shape[0]
     g = _ORI_GRID
     lin = (jnp.arange(g) - (g - 1) / 2.0) / ((g - 1) / 2.0)  # [-1, 1]
     gy_, gx_ = jnp.meshgrid(lin, lin, indexing="ij")
     radius = 3.0 * 1.5 * scl                                   # (Q,)
-    sx = xy[:, 0:1, None] + gx_[None] * radius[:, None, None]
-    sy = xy[:, 1:2, None] + gy_[None] * radius[:, None, None]
-    vx = _bilinear_sample(gradx, sx.reshape(q, -1), sy.reshape(q, -1))
-    vy = _bilinear_sample(grady, sx.reshape(q, -1), sy.reshape(q, -1))
-    vx = vx.reshape(q, g, g)
-    vy = vy.reshape(q, g, g)
+    sx = xy[:, 0:1] + gx_.reshape(1, -1) * radius[:, None]
+    sy = xy[:, 1:2] + gy_.reshape(1, -1) * radius[:, None]
+    vx = _bilinear_sample_stack(gradx, li, sx, sy).reshape(q, g, g)
+    vy = _bilinear_sample_stack(grady, li, sx, sy).reshape(q, g, g)
 
     mag = jnp.sqrt(vx * vx + vy * vy)
     ang = jnp.arctan2(vy, vx)  # (-pi, pi]
     r2 = gx_ ** 2 + gy_ ** 2
-    wgt = jnp.exp(-r2[None] / (2 * (1.5 / 3.0) ** 2))  # sigma=1.5*scl of radius 4.5*scl... normalized grid
+    wgt = jnp.exp(-r2[None] / (2 * (1.5 / 3.0) ** 2))
     wgt = wgt * (r2[None] <= 1.0)
 
     bins = jnp.floor((ang / (2 * jnp.pi) + 0.5) * _ORI_BINS).astype(jnp.int32)
@@ -219,28 +291,47 @@ def _orientation(gradx, grady, xy, scl, valid):
     onehot = jax.nn.one_hot(bins, _ORI_BINS, dtype=mag.dtype)  # (Q, g, g, 36)
     hist = jnp.einsum("qij,qijb->qb", mag * wgt, onehot)
 
-    # circular smoothing [1,4,6,4,1]/16, applied twice (OpenCV smooths once
-    # with that kernel; we apply once)
+    # circular smoothing [1,4,6,4,1]/16 (OpenCV's kernel)
     def smooth(hh):
         return (jnp.roll(hh, 2, -1) + 4 * jnp.roll(hh, 1, -1) + 6 * hh
                 + 4 * jnp.roll(hh, -1, -1) + jnp.roll(hh, -2, -1)) / 16.0
 
     hist = smooth(hist)
-    peak = jnp.argmax(hist, axis=-1)
-    hp = jnp.take_along_axis(hist, peak[:, None], -1)[:, 0]
-    hl = jnp.take_along_axis(hist, ((peak - 1) % _ORI_BINS)[:, None], -1)[:, 0]
-    hr = jnp.take_along_axis(hist, ((peak + 1) % _ORI_BINS)[:, None], -1)[:, 0]
-    denom = hl - 2 * hp + hr
-    interp = jnp.where(jnp.abs(denom) > 1e-12,
-                       0.5 * (hl - hr) / jnp.where(jnp.abs(denom) > 1e-12,
-                                                   denom, 1.0), 0.0)
-    bin_f = peak.astype(jnp.float32) + interp
-    theta = (bin_f + 0.5) / _ORI_BINS * 2 * jnp.pi - jnp.pi
-    return theta
+
+    def peak_theta(peak):
+        hp = jnp.take_along_axis(hist, peak[:, None], -1)[:, 0]
+        hl = jnp.take_along_axis(
+            hist, ((peak - 1) % _ORI_BINS)[:, None], -1)[:, 0]
+        hr = jnp.take_along_axis(
+            hist, ((peak + 1) % _ORI_BINS)[:, None], -1)[:, 0]
+        denom = hl - 2 * hp + hr
+        safe = jnp.abs(denom) > 1e-12
+        interp = jnp.where(safe, 0.5 * (hl - hr)
+                           / jnp.where(safe, denom, 1.0), 0.0)
+        bin_f = peak.astype(jnp.float32) + interp
+        return (bin_f + 0.5) / _ORI_BINS * 2 * jnp.pi - jnp.pi, hp
+
+    peak1 = jnp.argmax(hist, axis=-1)
+    theta1, h1 = peak_theta(peak1)
+
+    # secondary: best local peak (strictly above both circular neighbors)
+    # other than the dominant bin, qualifying at >= 0.8 * max
+    is_local = (hist > jnp.roll(hist, 1, -1)) & (hist >= jnp.roll(hist, -1, -1))
+    not_primary = (jax.lax.broadcasted_iota(jnp.int32, hist.shape, 1)
+                   != peak1[:, None])
+    cand = jnp.where(is_local & not_primary, hist, -jnp.inf)
+    peak2 = jnp.argmax(cand, axis=-1)
+    theta2, h2 = peak_theta(peak2)
+    has2 = valid & (h2 >= 0.8 * h1) & jnp.isfinite(
+        jnp.take_along_axis(cand, peak2[:, None], -1)[:, 0])
+    return theta1, theta2, has2
 
 
-def _descriptor(gradx, grady, xy, scl, theta):
-    """4x4x8 SIFT descriptor sampled on a fixed rotated grid."""
+def _descriptor(gradx, grady, li, xy, scl, theta):
+    """4x4x8 SIFT descriptor sampled on a fixed rotated grid.
+
+    gradx/grady: (L, H, W) per-layer gradient stacks; li: (Q,) layer index.
+    """
     q = xy.shape[0]
     g = _DESC_GRID
     d = _DESC_D
@@ -253,13 +344,11 @@ def _descriptor(gradx, grady, xy, scl, theta):
     ca, sa = jnp.cos(theta), jnp.sin(theta)              # (Q,)
     rx = (gx_[None] * ca[:, None, None] - gy_[None] * sa[:, None, None])
     ry = (gx_[None] * sa[:, None, None] + gy_[None] * ca[:, None, None])
-    sx = xy[:, 0:1, None] + rx * radius[:, None, None]
-    sy = xy[:, 1:2, None] + ry * radius[:, None, None]
+    sx = xy[:, 0:1] + (rx * radius[:, None, None]).reshape(q, -1)
+    sy = xy[:, 1:2] + (ry * radius[:, None, None]).reshape(q, -1)
 
-    vx = _bilinear_sample(gradx, sx.reshape(q, -1), sy.reshape(q, -1))
-    vy = _bilinear_sample(grady, sx.reshape(q, -1), sy.reshape(q, -1))
-    vx = vx.reshape(q, g, g)
-    vy = vy.reshape(q, g, g)
+    vx = _bilinear_sample_stack(gradx, li, sx, sy).reshape(q, g, g)
+    vy = _bilinear_sample_stack(grady, li, sx, sy).reshape(q, g, g)
     mag = jnp.sqrt(vx * vx + vy * vy)
     ang = jnp.arctan2(vy, vx) - theta[:, None, None]
 
@@ -346,17 +435,44 @@ def sift_detect_and_describe(img, cfg: SiftConfig = SiftConfig(),
             gauss.append(_blur(gauss[-1], sig[i]))
         dogs = [gauss[i + 1] - gauss[i] for i in range(_S + 2)]
 
-        xy, lay, scores, valid, _ = _detect_octave(gauss, dogs, quotas[o])
+        xy, lay, scores, valid, kint = _detect_octave(gauss, dogs, quotas[o])
         xy = jnp.where(valid[:, None], xy, 16.0)
         scl = _SIGMA0 * (2.0 ** ((lay) / _S))  # octave coords scale
 
-        # gradients of the middle Gaussian level (representative)
-        gmid = gauss[2]
-        gx = (jnp.roll(gmid, -1, 1) - jnp.roll(gmid, 1, 1)) * 0.5
-        gy = (jnp.roll(gmid, -1, 0) - jnp.roll(gmid, 1, 0)) * 0.5
+        # per-layer gradient stacks: each keypoint samples its own Gaussian
+        # layer (layers 1.._S), matching cv2's calcOrientationHist /
+        # calcSIFTDescriptor layer choice.
+        gstack = jnp.stack([gauss[k] for k in range(1, _S + 1)], axis=0)
+        gx = (jnp.roll(gstack, -1, 2) - jnp.roll(gstack, 1, 2)) * 0.5
+        gy = (jnp.roll(gstack, -1, 1) - jnp.roll(gstack, 1, 1)) * 0.5
+        li = jnp.clip(kint - 1, 0, _S - 1)
 
-        theta = _orientation(gx, gy, xy, scl, valid)
-        desc = _descriptor(gx, gy, xy, scl, theta)
+        theta1, theta2, has2 = _orientation(gx, gy, li, xy, scl, valid)
+
+        # secondary-orientation expansion (cv2 emits one keypoint per
+        # histogram peak >= 0.8*max), then re-select the octave's static
+        # quota by response — primaries win ties via an epsilon haircut on
+        # the duplicate's score.
+        q0 = xy.shape[0]
+        xy2 = jnp.concatenate([xy, xy], axis=0)
+        scl2 = jnp.concatenate([scl, scl], axis=0)
+        li2 = jnp.concatenate([li, li], axis=0)
+        lay2 = jnp.concatenate([lay, lay], axis=0)
+        theta = jnp.concatenate([theta1, theta2], axis=0)
+        valid2 = jnp.concatenate([valid, has2], axis=0)
+        score2 = jnp.concatenate(
+            [scores, jnp.where(has2, scores * (1.0 - 1e-6), 0.0)], axis=0)
+        sel_score, sel = jax.lax.top_k(
+            jnp.where(valid2, score2, 0.0), q0)
+        xy = xy2[sel]
+        scl = scl2[sel]
+        li = li2[sel]
+        lay = lay2[sel]
+        theta = theta[sel]
+        valid = sel_score > 0.0
+        scores = sel_score
+
+        desc = _descriptor(gx, gy, li, xy, scl, theta)
 
         oct_scale = base_scale * (2.0 ** o)
         outs.append({
@@ -367,8 +483,9 @@ def sift_detect_and_describe(img, cfg: SiftConfig = SiftConfig(),
             "desc": desc,
             "valid": valid,
         })
-        oct_img = jax.image.resize(
-            gauss[_S], (oh // 2, ow // 2), method="linear")
+        # cv2 buildGaussianPyramid downsamples with INTER_NEAREST: plain
+        # every-2nd-pixel decimation of the s-th Gaussian level (floor size).
+        oct_img = gauss[_S][::2, ::2][: oh // 2, : ow // 2]
 
     res = {key: jnp.concatenate([u[key] for u in outs], axis=0)
            for key in outs[0]}

@@ -39,6 +39,33 @@ def _so3_exp_np(w):
     return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
 
 
+def manhattan_dirs_for_frames(frames, K, cfg: VpConfig):
+    """Per-frame Manhattan directions for a whole frame stack at once.
+
+    frames: (F, H, W) float; returns a list of (Delta | None, ok, dbg) in
+    frame order. The reference computes VP statistics twice per *pair*
+    (both frames, src/core/pose_estimator.py:541-542) even though
+    consecutive pairs share a frame; here each frame is labeled once, all
+    F label-propagation passes run as ONE device dispatch (lax.map), and
+    the voting runs vectorized per frame. Numerics are identical to
+    estimate_manhattan_dirs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.lsd import _label_regions, segments_from_labels
+
+    frames = np.asarray(frames, dtype=np.float32)
+    labels, _, mag = jax.lax.map(_label_regions, jnp.asarray(frames))
+    labels = np.asarray(labels)
+    mag = np.asarray(mag)
+    out = []
+    for f in range(frames.shape[0]):
+        lines = segments_from_labels(labels[f], mag[f])
+        out.append(_dirs_from_lines(lines, K, cfg, rng_seed=f))
+    return out
+
+
 def estimate_manhattan_dirs(gray, K, cfg: VpConfig, rng_seed: int = 0):
     """Extract 3 orthogonal Manhattan directions (camera frame).
 
@@ -47,6 +74,11 @@ def estimate_manhattan_dirs(gray, K, cfg: VpConfig, rng_seed: int = 0):
     (pose_estimator.py:255-386).
     """
     lines = detect_line_segments(gray)
+    return _dirs_from_lines(lines, K, cfg, rng_seed)
+
+
+def _dirs_from_lines(lines, K, cfg: VpConfig, rng_seed: int = 0):
+    """Voting + VP extraction from (N, 4) segments (host entry point)."""
     dbg = {"num_lines": int(lines.shape[0])}
     if lines.shape[0] < 10:
         return None, False, dbg

@@ -92,9 +92,18 @@ def detect_line_segments(gray, min_region: int = MIN_REGION,
     """
     gray = np.asarray(gray, dtype=np.float32)
     labels, _, mag = _label_regions(jnp.asarray(gray))
-    labels = np.asarray(labels)
-    mag_np = np.asarray(mag)
+    return segments_from_labels(np.asarray(labels), np.asarray(mag),
+                                min_region, min_aspect)
 
+
+def segments_from_labels(labels, mag_np, min_region: int = MIN_REGION,
+                         min_aspect: float = MIN_ASPECT) -> np.ndarray:
+    """Per-component PCA -> segments from a precomputed label/mag field.
+
+    Split out so batched callers (geometry/vp_refine.py
+    manhattan_dirs_for_frames) can run the device labeling pass for a whole
+    frame stack in one dispatch and feed each frame's result here.
+    """
     ys, xs = np.nonzero(labels >= 0)
     if ys.size == 0:
         return np.zeros((0, 4), dtype=np.float64)

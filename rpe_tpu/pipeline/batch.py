@@ -229,19 +229,49 @@ class BatchProcessor:
             rpy1[:, 2], rpy1[:, 1], rpy1[:, 0],
             convention=self.euler_convention))  # (N, 3, 3)
 
-        # VP (Manhattan) refinement per pair, GT-anchored like the reference
-        # batch loop (estimate(img1, img2, R_prev=R_prev_world),
-        # batch_processor.py:92). Gated + rare; host/JAX hybrid path.
+        # VP (Manhattan) refinement, GT-anchored like the reference batch
+        # loop (estimate(img1, img2, R_prev=R_prev_world),
+        # batch_processor.py:92). The reference recomputes both frames' VP
+        # statistics for every pair (pose_estimator.py:541-542); here each
+        # frame is computed ONCE for the whole sequence with batched device
+        # labeling (geometry/vp_refine.manhattan_dirs_for_frames), and only
+        # the rare gated LM runs per pair. Deviation: the pair-subsampling
+        # rng seed is per-frame (frame index) instead of per-role (0/1).
         cfg = self.pose_estimator.config
         if cfg.vp.enabled:
-            from ..geometry.vp_refine import refine_rotation_with_vps
+            from ..geometry.vp_refine import (
+                manhattan_dirs_for_frames,
+                optimize_rotation_from_vps,
+                vp_cost,
+            )
 
             K = np.asarray(self.pose_estimator.K, dtype=np.float64)
+            stats = []
+            ch = 8  # frames per labeling dispatch (bounds device memory)
+            for s in range(0, len(frames), ch):
+                stats.extend(
+                    manhattan_dirs_for_frames(imgs[s:s + ch], K, cfg.vp))
+
+            def reliable(entry):
+                _, ok, dbg = entry
+                return (ok and dbg.get("acc_max", 0.0) >= cfg.vp.acc_min
+                        and dbg.get("vp2_score", 0.0) >= cfg.vp.vp2_min)
+
             for i in range(len(frames) - 1):
                 if not valid[i]:
                     continue
-                R_rel[i], _, _ = refine_rotation_with_vps(
-                    imgs[i], imgs[i + 1], R_prev[i], R_rel[i], K, cfg.vp)
+                if not (reliable(stats[i]) and reliable(stats[i + 1])):
+                    continue
+                Delta_prev = stats[i][0]
+                Delta_new = stats[i + 1][0]
+                R_new_init = R_prev[i] @ R_rel[i]
+                D_world = R_prev[i].T @ Delta_prev
+                cost_init = vp_cost(R_new_init, Delta_new, D_world)
+                R_opt = optimize_rotation_from_vps(
+                    R_new_init, Delta_new, D_world, cfg.vp)
+                if (vp_cost(R_opt, Delta_new, D_world)
+                        < cost_init - cfg.vp.cost_improve_eps):
+                    R_rel[i] = R_prev[i].T @ R_opt
         R_world = R_prev @ R_rel  # (N, 3, 3)
         yaw, pitch, roll = (np.asarray(a) for a in rotation_to_euler(
             R_world, convention=self.euler_convention))

@@ -157,6 +157,23 @@ def _hidden_var_table():
     return S
 
 
+@functools.lru_cache(maxsize=None)
+def _flip_table():
+    """P[(20, 20)]: coefficient permutation for the projective chart flip.
+
+    The constraints are homogeneous cubics in (x, y, z, w) with E = xX + yY
+    + zZ + wW; the solver works in the affine chart w=1. Substituting
+    (x, y, z) = (u/w', v/w', 1/w') and multiplying by w'^3 maps the
+    coefficient of monomial x^a y^b z^c to that of u^a v^b w'^(3-a-b-c) —
+    the SAME 20 coefficients with the z-degree reversed. Used to re-extract
+    large-|z| roots in the chart where they are well-conditioned.
+    """
+    P = np.zeros((20, 20), dtype=np.float32)
+    for m, (a, b, c) in enumerate(_M3):
+        P[m, _M3_IDX[(a, b, 3 - a - b - c)]] = 1.0
+    return P
+
+
 # ---------------------------------------------------------------------------
 # Unrolled small linear algebra
 # ---------------------------------------------------------------------------
@@ -305,42 +322,78 @@ def five_point_essential(pts1, pts2):
     rn = jnp.sqrt(jnp.sum(coeffs * coeffs, axis=-1, keepdims=True) + _EPS)
     coeffs = coeffs / rn
 
-    # 1) coarse scan on a tan-spaced grid over the whole real line
-    t = jnp.linspace(-0.5 * jnp.pi + 1e-3, 0.5 * jnp.pi - 1e-3, GRID)
-    zgrid = jnp.tan(t)                                       # (GRID,)
-    d = _detM_at(coeffs[..., None, :, :],
-                 jnp.broadcast_to(zgrid, (*batch, GRID)))    # (..., GRID)
+    import os
 
-    sign = jnp.sign(d)
-    change = (sign[..., :-1] * sign[..., 1:]) < 0            # (..., GRID-1)
-    # first MAX_ROOTS bracket indices (deterministic, padded)
-    score = jnp.where(change,
-                      -jnp.arange(GRID - 1, dtype=jnp.float32),
-                      -jnp.inf)
-    _, bidx = jax.lax.top_k(score, MAX_ROOTS)                # (..., R)
-    has_root = jnp.take_along_axis(change, bidx, axis=-1)
+    from ..ops.fast import _use_pallas
 
-    t_lo = jnp.take(t, bidx)
-    t_hi = jnp.take(t, bidx + 1)
-    d_lo = jnp.take_along_axis(d, bidx, axis=-1)
+    if _use_pallas() and not os.environ.get("RPE_NO_PALLAS_5PT"):
+        # VMEM-resident fused grid scan + bracketing + bisection with the
+        # hypothesis batch in the lane dimension (ops/five_point_pallas.py)
+        # — the XLA formulation below pads its 10-wide trailing dims to 128
+        # lanes on every LU step (docs/PERF_LOG.md).
+        from ..ops.five_point_pallas import find_root_brackets
 
-    # 2) bisection on t (z = tan t)
-    def body(_, carry):
-        lo, hi, dlo = carry
-        mid = 0.5 * (lo + hi)
-        dm = _detM_at(coeffs[..., None, :, :], jnp.tan(mid))
-        same = (jnp.sign(dm) * jnp.sign(dlo)) >= 0
-        lo2 = jnp.where(same, mid, lo)
-        dlo2 = jnp.where(same, dm, dlo)
-        hi2 = jnp.where(same, hi, mid)
-        return lo2, hi2, dlo2
+        flat = coeffs.reshape(-1, 10, 20)
+        t_lo, t_hi, has_root = find_root_brackets(flat)
+        t_lo = t_lo.reshape(*batch, MAX_ROOTS)
+        t_hi = t_hi.reshape(*batch, MAX_ROOTS)
+        has_root = has_root.reshape(*batch, MAX_ROOTS)
+    else:
+        # 1) coarse scan on a tan-spaced grid over the whole real line
+        t = jnp.linspace(-0.5 * jnp.pi + 1e-3, 0.5 * jnp.pi - 1e-3, GRID)
+        zgrid = jnp.tan(t)                                   # (GRID,)
+        d = _detM_at(coeffs[..., None, :, :],
+                     jnp.broadcast_to(zgrid, (*batch, GRID)))  # (..., GRID)
 
-    t_lo, t_hi, _ = jax.lax.fori_loop(0, BISECT_ITERS, body,
-                                      (t_lo, t_hi, d_lo))
+        sign = jnp.sign(d)
+        change = (sign[..., :-1] * sign[..., 1:]) < 0        # (..., GRID-1)
+        # first MAX_ROOTS bracket indices (deterministic, padded)
+        score = jnp.where(change,
+                          -jnp.arange(GRID - 1, dtype=jnp.float32),
+                          -jnp.inf)
+        _, bidx = jax.lax.top_k(score, MAX_ROOTS)            # (..., R)
+        has_root = jnp.take_along_axis(change, bidx, axis=-1)
+
+        t_lo = jnp.take(t, bidx)
+        t_hi = jnp.take(t, bidx + 1)
+        d_lo = jnp.take_along_axis(d, bidx, axis=-1)
+
+        # 2) bisection on t (z = tan t)
+        def body(_, carry):
+            lo, hi, dlo = carry
+            mid = 0.5 * (lo + hi)
+            dm = _detM_at(coeffs[..., None, :, :], jnp.tan(mid))
+            same = (jnp.sign(dm) * jnp.sign(dlo)) >= 0
+            lo2 = jnp.where(same, mid, lo)
+            dlo2 = jnp.where(same, dm, dlo)
+            hi2 = jnp.where(same, hi, mid)
+            return lo2, hi2, dlo2
+
+        t_lo, t_hi, _ = jax.lax.fori_loop(0, BISECT_ITERS, body,
+                                          (t_lo, t_hi, d_lo))
     z_root = jnp.tan(0.5 * (t_lo + t_hi))                    # (..., R)
 
-    # 3) null vector of M(z*) -> monomial vector -> (x, y)
-    Mz = _eval_Mz(coeffs[..., None, :, :], z_root)           # (..., R, 10, 10)
+    # Chart selection per root. The affine (x, y, z, 1) chart degenerates as
+    # |z| grows: f32 cannot hold xX + yY + zZ + W once the zZ term dominates
+    # by >2^24, and the bisection's t-space precision maps to |dz| ~ z^2 dt,
+    # so near-planar samples (whose true roots sit at |z| up to the tan-grid
+    # edge ~1e3) lost real roots to extraction noise — measured directly by
+    # tests/test_five_point.py::test_near_planar_root_recall_vs_pivoted_f64
+    # _oracle. Roots with |z| > 1 are therefore extracted and polished in
+    # the projective chart (u, v, w) = (x/z, y/z, 1/z) via the z-degree
+    # flip of the SAME coefficients (_flip_table), where they are
+    # well-conditioned; E = uX + vY + Z + wW there.
+    P = jnp.asarray(_flip_table())
+    coeffs_flip = jnp.einsum("...em,mn->...en", coeffs, P)
+    flip = jnp.abs(z_root) > 1.0                             # (..., R)
+    safe_z = jnp.where(jnp.abs(z_root) > 1e-20, z_root, 1.0)
+    r_var = jnp.where(flip, 1.0 / safe_z, z_root)
+    coeffs_r = jnp.where(flip[..., None, None],
+                         coeffs_flip[..., None, :, :],
+                         coeffs[..., None, :, :])            # (..., R, 10, 20)
+
+    # 3) null vector of M(r*) -> monomial vector -> (x, y) [or (u, v)]
+    Mz = _eval_Mz(coeffs_r, r_var)                           # (..., R, 10, 10)
     from .eig import smallest_eigvec_sym
 
     MtM = jnp.einsum("...ki,...kj->...ij", Mz, Mz)
@@ -354,15 +407,17 @@ def five_point_essential(pts1, pts2):
     x = jnp.where(use_alt, m[..., 4] / (xq + _EPS), xq / (one + _EPS))
     y = jnp.where(use_alt, m[..., 5] / (xq + _EPS), yq / (one + _EPS))
 
-    # Gauss-Newton polish on the full cubic system (x, y, z free).
-    x, y, z_root = _gn_refine(coeffs[..., None, :, :], x, y, z_root)
+    # Gauss-Newton polish on the full cubic system, in the root's chart.
+    x, y, r_var = _gn_refine(coeffs_r, x, y, r_var)
 
     X = null4[..., None, :, 0]
     Y = null4[..., None, :, 1]
     Z = null4[..., None, :, 2]
     W = null4[..., None, :, 3]
+    cz = jnp.where(flip, 1.0, r_var)                         # Z coefficient
+    cw = jnp.where(flip, r_var, 1.0)                         # W coefficient
     e_vec = (x[..., None] * X + y[..., None] * Y
-             + z_root[..., None] * Z + W)                    # (..., R, 9)
+             + cz[..., None] * Z + cw[..., None] * W)        # (..., R, 9)
     # Invalid brackets / degenerate extractions can produce inf/NaN; replace
     # those candidates with the (finite) W vector and mark them invalid so
     # downstream masked scoring never sees non-finite values.

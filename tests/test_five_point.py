@@ -99,6 +99,102 @@ def test_all_returned_roots_satisfy_the_minimal_problem(rng):
             assert d.max() < 1e-8
 
 
+def _near_planar_problem(rng, n=5, offplane=1e-3):
+    """Minimal sample with all points on (almost) one plane — the adversarial
+    regime for the unpivoted determinant LU (near-zero pivots) and the one
+    where the 8pt solver degenerates outright."""
+    w = rng.normal(size=3)
+    w = w / np.linalg.norm(w) * np.deg2rad(rng.uniform(2, 25))
+    R = np.asarray(so3_exp(w))
+    t = rng.normal(size=3)
+    t /= np.linalg.norm(t)
+    ab = rng.uniform(-0.4, 0.4, size=2)
+    xy = rng.uniform(-2, 2, size=(n, 2))
+    zz = 6.0 + xy @ ab + offplane * rng.normal(size=n)
+    X = np.concatenate([xy, zz[:, None]], axis=1)
+    x1 = X / X[:, 2:3]
+    X2 = X @ R.T + t
+    x2 = X2 / X2[:, 2:3]
+    E = skew(t) @ R
+    return (x1[:, :2].astype(np.float32), x2[:, :2].astype(np.float32),
+            E / np.linalg.norm(E))
+
+
+def _oracle_gt_hit(coeffs_np, null4_np, E_gt, tol=1e-3):
+    """Pivoted float64 oracle: does the tan-grid + LAPACK-det + bisection
+    route recover the ground-truth essential matrix for this sample?"""
+    from rpe_tpu.geometry.five_point import _hidden_var_table
+
+    S = _hidden_var_table().astype(np.float64)
+    c = coeffs_np.astype(np.float64)
+
+    def detM(z):
+        zp = np.array([1.0, z, z * z, z ** 3])
+        return np.linalg.det(np.einsum("em,mgc,c->eg", c, S, zp))
+
+    t = np.linspace(-0.5 * np.pi + 1e-3, 0.5 * np.pi - 1e-3, 97)
+    d = np.array([detM(np.tan(ti)) for ti in t])
+    best = np.inf
+    for g in np.nonzero(np.sign(d[:-1]) * np.sign(d[1:]) < 0)[0]:
+        lo, hi, dlo = t[g], t[g + 1], d[g]
+        for _ in range(50):
+            mid = 0.5 * (lo + hi)
+            dm = detM(np.tan(mid))
+            if np.sign(dm) * np.sign(dlo) >= 0:
+                lo, dlo = mid, dm
+            else:
+                hi = mid
+        z = np.tan(0.5 * (lo + hi))
+        zp = np.array([1.0, z, z * z, z ** 3])
+        M = np.einsum("em,mgc,c->eg", c, S, zp)
+        m = np.linalg.svd(M)[2][-1]
+        if abs(m[9]) < 1e-12:
+            continue
+        x, y = m[7] / m[9], m[8] / m[9]
+        e = (x * null4_np[:, 0] + y * null4_np[:, 1]
+             + z * null4_np[:, 2] + null4_np[:, 3])
+        E = (e / np.linalg.norm(e)).reshape(3, 3)
+        best = min(best, np.linalg.norm(E - E_gt), np.linalg.norm(E + E_gt))
+    return best < tol
+
+
+def test_near_planar_root_recall_vs_pivoted_f64_oracle(rng):
+    """The no-pivot LU rationale (five_point._det10_lu docstring), tested
+    directly: on near-planar minimal samples, ground-truth-root recall of
+    the f32 unpivoted production path must match a pivoted float64 LAPACK
+    oracle running the same grid + bisection (allowing a small slack for
+    f32 borderline evaluations; RANSAC retries absorb individual misses)."""
+    B = 40
+    solver_hits = oracle_hits = both_possible = 0
+    for _ in range(B):
+        p1, p2, E_gt = _near_planar_problem(rng)
+        A = jnp.asarray(p1[None]), jnp.asarray(p2[None])
+        from rpe_tpu.geometry.epipolar import _build_epipolar_rows
+
+        rows = _build_epipolar_rows(*A)
+        null4 = _householder_null4(rows)
+        coeffs = _build_constraint_coeffs(null4)
+        rn = jnp.sqrt(jnp.sum(coeffs * coeffs, axis=-1, keepdims=True)
+                      + 1e-20)
+        coeffs_n = np.asarray(coeffs / rn)[0]
+        if _oracle_gt_hit(coeffs_n, np.asarray(null4)[0], E_gt):
+            oracle_hits += 1
+
+        Es, valid = five_point_essential(*A)
+        Es, valid = np.asarray(Es)[0], np.asarray(valid)[0]
+        best = np.inf
+        for E, v in zip(Es, valid):
+            if v:
+                E = E / np.linalg.norm(E)
+                best = min(best, np.linalg.norm(E - E_gt),
+                           np.linalg.norm(E + E_gt))
+        if best < 1e-3:
+            solver_hits += 1
+    assert oracle_hits >= int(0.75 * B), f"oracle only {oracle_hits}/{B}"
+    assert solver_hits >= oracle_hits - 3, (
+        f"solver {solver_hits}/{B} vs pivoted f64 oracle {oracle_hits}/{B}")
+
+
 def test_ransac_5pt_succeeds_with_exactly_five_matches(rng):
     """Reference parity: cv2.findEssentialMat's 5pt path works at N=5
     (src/core/pose_estimator.py:514 requires only >=5 matches). At exactly

@@ -58,3 +58,83 @@ def test_fused_blur_matches_reference(gray):
     m = 8  # kernel edges replicate/wrap; interior must match
     np.testing.assert_allclose(np.asarray(blur)[m:-m, m:-m],
                                ref[m:-m, m:-m], atol=0.05)
+
+
+def _five_point_coeffs(rng, B):
+    """Row-normalized constraint coefficient batch from synthetic minimal
+    problems (same construction as five_point_essential)."""
+    import jax
+    from rpe_tpu.geometry.five_point import (
+        _build_constraint_coeffs, _householder_null4)
+    from rpe_tpu.geometry.epipolar import _build_epipolar_rows
+    from rpe_tpu.geometry import so3_exp
+
+    p1s, p2s = [], []
+    for _ in range(B):
+        w = rng.normal(size=3)
+        w = w / np.linalg.norm(w) * np.deg2rad(rng.uniform(2, 30))
+        R = np.asarray(so3_exp(w))
+        t = rng.normal(size=3)
+        t /= np.linalg.norm(t)
+        X = rng.uniform([-2, -2, 3], [2, 2, 10], size=(5, 3))
+        x1 = X / X[:, 2:3]
+        X2 = X @ R.T + t
+        x2 = X2 / X2[:, 2:3]
+        p1s.append(x1[:, :2].astype(np.float32))
+        p2s.append(x2[:, :2].astype(np.float32))
+    A = _build_epipolar_rows(jnp.asarray(np.stack(p1s)),
+                             jnp.asarray(np.stack(p2s)))
+    coeffs = _build_constraint_coeffs(_householder_null4(A))
+    rn = jnp.sqrt(jnp.sum(coeffs * coeffs, axis=-1, keepdims=True) + 1e-20)
+    return coeffs / rn
+
+
+def test_five_point_root_kernel_matches_xla():
+    """ops/five_point_pallas.find_root_brackets vs the XLA grid+bisect path:
+    identical bracket flags, endpoints within one final-bisection width."""
+    import jax
+    from rpe_tpu.geometry.five_point import (
+        _detM_at, BISECT_ITERS, GRID, MAX_ROOTS)
+    from rpe_tpu.ops.five_point_pallas import find_root_brackets
+
+    rng = np.random.default_rng(3)
+    B = 9
+    coeffs = _five_point_coeffs(rng, B)
+
+    t = jnp.linspace(-0.5 * jnp.pi + 1e-3, 0.5 * jnp.pi - 1e-3, GRID)
+    d = _detM_at(coeffs[:, None], jnp.broadcast_to(jnp.tan(t), (B, GRID)))
+    sign = jnp.sign(d)
+    change = (sign[..., :-1] * sign[..., 1:]) < 0
+    score = jnp.where(change, -jnp.arange(GRID - 1, dtype=jnp.float32),
+                      -jnp.inf)
+    _, bidx = jax.lax.top_k(score, MAX_ROOTS)
+    has_x = jnp.take_along_axis(change, bidx, axis=-1)
+    t_lo_x = jnp.take(t, bidx)
+    t_hi_x = jnp.take(t, bidx + 1)
+    d_lo = jnp.take_along_axis(d, bidx, axis=-1)
+
+    def body(_, carry):
+        lo, hi, dlo = carry
+        mid = 0.5 * (lo + hi)
+        dm = _detM_at(coeffs[:, None], jnp.tan(mid))
+        same = (jnp.sign(dm) * jnp.sign(dlo)) >= 0
+        return (jnp.where(same, mid, lo), jnp.where(same, hi, mid),
+                jnp.where(same, dm, dlo))
+
+    t_lo_x, t_hi_x, _ = jax.lax.fori_loop(0, BISECT_ITERS, body,
+                                          (t_lo_x, t_hi_x, d_lo))
+
+    t_lo_p, t_hi_p, has_p = find_root_brackets(coeffs, interpret=True)
+    np.testing.assert_array_equal(np.asarray(has_x), np.asarray(has_p))
+    m = np.asarray(has_x)
+    # Same grid interval always (the kernel computes sign via the pivot
+    # product, which can flip vs the det *value* at a near-zero midpoint,
+    # shifting a few final bisection steps — the GN polish converges from
+    # anywhere inside the interval); most roots bit-track the XLA path.
+    dt = float(np.pi / (GRID - 1))
+    width = dt / (1 << BISECT_ITERS)
+    dlo = np.abs(np.asarray(t_lo_x)[m] - np.asarray(t_lo_p)[m])
+    dhi = np.abs(np.asarray(t_hi_x)[m] - np.asarray(t_hi_p)[m])
+    assert dlo.max() <= dt and dhi.max() <= dt
+    assert (dlo <= 2 * width).mean() > 0.9
+    assert (dhi <= 2 * width).mean() > 0.9

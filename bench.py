@@ -50,10 +50,15 @@ def bench_tpu(img1, img2, K):
     import jax
     import jax.numpy as jnp
 
-    from rpe_tpu.pipeline.estimator import estimate_pairs_batched
+    from rpe_tpu.pipeline.estimator import estimate_sequence_batched
 
-    imgs1 = jnp.asarray(np.stack([img1] * BATCH))
-    imgs2 = jnp.asarray(np.stack([img2] * BATCH))
+    # Sequence workload (what every dataset runner executes): BATCH
+    # consecutive pairs over BATCH+1 alternating frames. Each unique frame
+    # is detected once and shared by its two adjacent pairs — the reference
+    # re-runs detectAndCompute on both images of every pair
+    # (src/core/pose_estimator.py:497-498), which bench_opencv reproduces.
+    seq = jnp.asarray(np.stack(
+        [img1 if i % 2 == 0 else img2 for i in range(BATCH + 1)]))
     Kj = jnp.asarray(K)
     # all PRNG keys precomputed and device-resident: the timed loop issues
     # only the fused estimation program (no host-side key tracing)
@@ -63,13 +68,13 @@ def bench_tpu(img1, img2, K):
         for i in range(ITERS)
     ]
 
-    out = estimate_pairs_batched(imgs1, imgs2, Kj, all_keys[0])  # compile
+    out = estimate_sequence_batched(seq, Kj, all_keys[0])  # compile
     np.asarray(out["R"])  # host transfer: the only reliable barrier on the
     # tunneled backend (block_until_ready returns before remote completion)
 
     t0 = time.perf_counter()
     for i in range(ITERS):
-        out = estimate_pairs_batched(imgs1, imgs2, Kj, all_keys[i])
+        out = estimate_sequence_batched(seq, Kj, all_keys[i])
         np.asarray(out["R"])
     dt = time.perf_counter() - t0
     return BATCH * ITERS / dt, out

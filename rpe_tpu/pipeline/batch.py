@@ -26,7 +26,7 @@ import numpy as np
 
 from ..geometry.rotations import euler_to_rotation, rotation_to_euler
 from ..io.image_loader import load_image_batch
-from .estimator import estimate_pairs_batched
+from .estimator import estimate_pairs_batched, estimate_sequence_batched
 
 
 class BatchProcessor:
@@ -108,16 +108,24 @@ class BatchProcessor:
             idx = list(range(start, end))
             pad = chunk - len(idx)
             sel1 = idx + [idx[-1]] * pad
-            sel2 = [i + 1 for i in sel1]
-            i1 = jnp.asarray(imgs[sel1])
-            i2 = jnp.asarray(imgs[sel2])
             keys = jax.vmap(jax.random.PRNGKey)(
                 jnp.asarray([self.seed + s for s in sel1], dtype=jnp.uint32))
-            if shard is not None:
-                i1 = jax.device_put(i1, shard)
-                i2 = jax.device_put(i2, shard)
+            if shard is None:
+                # Consecutive pairs share frames: detect each unique frame
+                # once per chunk (estimator.estimate_sequence_batched). The
+                # padded tail repeats the last frame (same-frame pairs are
+                # discarded below).
+                fsel = list(range(start, end + 1)) + [end] * pad
+                out = estimate_sequence_batched(
+                    jnp.asarray(imgs[fsel]), K, keys, cfg=cfg)
+            else:
+                # Mesh path shards the pair axis; frames are duplicated per
+                # pair so each device's block is self-contained.
+                sel2 = [i + 1 for i in sel1]
+                i1 = jax.device_put(jnp.asarray(imgs[sel1]), shard)
+                i2 = jax.device_put(jnp.asarray(imgs[sel2]), shard)
                 keys = jax.device_put(keys, shard)
-            out = estimate_pairs_batched(i1, i2, K, keys, cfg=cfg)
+                out = estimate_pairs_batched(i1, i2, K, keys, cfg=cfg)
             n = len(idx)
             R_out[start:end] = np.asarray(out["R"])[:n]
             t_out[start:end] = np.asarray(out["t"])[:n]

@@ -136,6 +136,31 @@ def estimate_pairs_batched(imgs1, imgs2, K, keys,
     return fn(det1, det2, keys)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def estimate_sequence_batched(imgs, K, keys,
+                              cfg: EstimatorConfig = EstimatorConfig()):
+    """Consecutive-pair estimation over a frame chunk: (B+1, H, W) -> B pairs.
+
+    The sequence workload (every dataset runner, reference
+    batch_processor.py:71) estimates pairs (i, i+1): each interior frame
+    appears in TWO pairs, but the reference re-runs detectAndCompute on both
+    images of every pair (src/core/pose_estimator.py:497-498). Here each
+    unique frame is detected ONCE per chunk and its detections are shared by
+    both adjacent pairs — detection is ~2/3 of the pair budget
+    (docs/PERF_LOG.md stage budget), so this alone is worth ~1.6x on the
+    full pipeline. Matching/RANSAC/pose are vmapped over the B pairs exactly
+    as in `estimate_pairs_batched`.
+    """
+    dets = jax.lax.map(lambda im: detect_features(im, cfg), imgs)
+    det1 = jax.tree.map(lambda x: x[:-1], dets)
+    det2 = jax.tree.map(lambda x: x[1:], dets)
+    fn = jax.vmap(
+        lambda d1, d2, k: _match_to_pose(d1, d2, K, k, cfg),
+        in_axes=(0, 0, 0),
+    )
+    return fn(det1, det2, keys)
+
+
 class PoseEstimator:
     """Reference-compatible single-pair API over the fused jit core.
 

@@ -51,12 +51,13 @@ def test_checkpoint_resume_skips_computation(processor_factory):
     calls = []
     import rpe_tpu.pipeline.batch as batch_mod
 
-    orig = batch_mod.estimate_pairs_batched
-    batch_mod.estimate_pairs_batched = lambda *a, **k: calls.append(1) or orig(*a, **k)
+    orig = batch_mod.estimate_sequence_batched
+    batch_mod.estimate_sequence_batched = (
+        lambda *a, **k: calls.append(1) or orig(*a, **k))
     try:
         r2 = bp2.process_sequence(frames)
     finally:
-        batch_mod.estimate_pairs_batched = orig
+        batch_mod.estimate_sequence_batched = orig
     assert calls == []
     np.testing.assert_allclose(
         np.stack(r1["R"]), np.stack(r2["R"]), atol=1e-12)
@@ -76,13 +77,13 @@ def test_checkpoint_rejects_different_config(processor_factory):
     calls = []
     import rpe_tpu.pipeline.batch as batch_mod
 
-    orig = batch_mod.estimate_pairs_batched
-    batch_mod.estimate_pairs_batched = (
+    orig = batch_mod.estimate_sequence_batched
+    batch_mod.estimate_sequence_batched = (
         lambda *a, **k: calls.append(1) or orig(*a, **k))
     try:
         bp2.process_sequence(frames)
     finally:
-        batch_mod.estimate_pairs_batched = orig
+        batch_mod.estimate_sequence_batched = orig
     assert calls, "stale-config checkpoint must force recomputation"
 
 

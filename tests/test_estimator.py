@@ -94,6 +94,33 @@ def test_estimate_pair_deterministic(pair):
     np.testing.assert_array_equal(np.asarray(a["t"]), np.asarray(b["t"]))
 
 
+def test_sequence_batched_matches_pairs_batched(pair):
+    """estimate_sequence_batched (one detection per unique frame) must be
+    bit-identical to estimate_pairs_batched on the same pairs — detection
+    sharing may not change any numerics."""
+    from rpe_tpu.pipeline.estimator import (
+        estimate_pairs_batched, estimate_sequence_batched)
+
+    img1, img2, K = pair
+    cfg = EstimatorConfig(
+        orb=OrbConfig(nfeatures=800, nlevels=4, max_kpts=1024),
+        matcher=MatcherConfig(max_matches=256),
+        ransac=RansacConfig(num_hypotheses=256),
+    )
+    i1 = jnp.asarray(img1, jnp.float32)
+    i2 = jnp.asarray(img2, jnp.float32)
+    Kj = jnp.asarray(K, jnp.float32)
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(2, dtype=jnp.uint32))
+
+    seq = estimate_sequence_batched(jnp.stack([i1, i2, i1]), Kj, keys,
+                                    cfg=cfg)
+    prs = estimate_pairs_batched(jnp.stack([i1, i2]), jnp.stack([i2, i1]),
+                                 Kj, keys, cfg=cfg)
+    for k in ("R", "t", "valid", "num_matches", "num_inliers"):
+        np.testing.assert_array_equal(np.asarray(seq[k]), np.asarray(prs[k]),
+                                      err_msg=k)
+
+
 def test_textureless_pair_masks_invalid():
     """Blank images -> no features -> valid=False, identity pose, no crash
     (SURVEY.md §5: per-pair validity mask instead of exceptions)."""

@@ -62,7 +62,10 @@ def _estimate_pair_hyp_sharded(img1, img2, K, key, cfg: EstimatorConfig,
         d2 = sampson_error_sq(E, n1, n2)
         inlier_mask = (d2 < thr_n * thr_n) & mvalid
         num_inliers = jnp.sum(inlier_mask.astype(jnp.int32))
-        ok = (num_matches >= 8) & (num_inliers >= 5)
+        # solver-aware gate, matching ransac_essential's (the reference
+        # succeeds with 5 matches on the 5pt path, pose_estimator.py:514)
+        min_valid = 5 if cfg.ransac.solver == "5pt" else 8
+        ok = (num_matches >= min_valid) & (num_inliers >= 5)
 
         R, t, votes, _ = recover_pose(E, n1, n2, mvalid)
 

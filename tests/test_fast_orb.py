@@ -117,3 +117,31 @@ def test_orb_detect_and_describe_shapes_and_sanity(gray):
     bits = np.asarray(out["bits"])[np.asarray(out["valid"])]
     frac = bits.mean()
     assert 0.3 < frac < 0.7
+
+
+def test_detection_topk_recall_vs_exact(gray):
+    """Per-level quota selection uses jax.lax.approx_max_k (ops/orb.py,
+    ops/fast.py) — rank-sensitive, unlike match truncation. Measure its
+    recall against exact lax.top_k on the real image's Harris rank map in
+    both regimes: quota << corners and quota > corners."""
+    import jax
+    from rpe_tpu.ops.fast import border_mask
+
+    img = jnp.asarray(gray, jnp.float32)
+    score = nonmax_suppress_3x3(fast_score_map(img, 15.0))
+    harris = harris_response_map(img)
+    rank2d = jnp.where(score > 0.0, harris, -jnp.inf)
+    h, w = gray.shape
+    rank = jnp.where(border_mask(h, w, 31), rank2d, -jnp.inf).reshape(-1)
+    n_corners = int(jnp.sum(rank > -jnp.inf))
+    assert n_corners > 1000  # the real frame must be corner-rich
+
+    for quota in (512, int(1.5 * n_corners)):
+        av, ai = jax.lax.approx_max_k(rank, quota)
+        ev, ei = jax.lax.top_k(rank, quota)
+        exact = set(np.asarray(ei)[np.asarray(ev) > -np.inf].tolist())
+        got = set(np.asarray(ai)[np.asarray(av) > -np.inf].tolist())
+        recall = len(got & exact) / max(len(exact), 1)
+        assert recall >= 0.90, f"quota={quota}: approx top-k recall {recall}"
+        # everything approx selects must be a real corner
+        assert got <= set(np.asarray(jnp.nonzero(rank > -jnp.inf)[0]).tolist())

@@ -51,6 +51,42 @@ def test_estimate_pairs_2d_mesh(rng):
     assert np.median(ang) < 10.0
 
 
+def test_estimate_pairs_2d_5pt_matches_single_device(rng):
+    """The production solver (5pt Nister, the pipeline default) under the
+    2-D (pairs x hyp) mesh: the all_gather winner must land on the same pose
+    as the unsharded single-device estimator (each hyp shard evaluates a
+    different PRNG stream, so agreement is geometric, not bitwise)."""
+    from tests.test_sharding import _parallax_pair
+    from rpe_tpu.pipeline.estimator import estimate_pair
+
+    assert TINY.ransac.solver == "5pt"  # guard: this must be the default
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("pairs", "hyp"))
+    B = 2
+    pairs = [_parallax_pair(rng) for _ in range(B)]
+    imgs1 = jnp.asarray(np.stack([p[0] for p in pairs]))
+    imgs2 = jnp.asarray(np.stack([p[1] for p in pairs]))
+    K = jnp.asarray(np.array([[120.0, 0, 64], [0, 120.0, 48], [0, 0, 1]],
+                             np.float32))
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(B, dtype=jnp.uint32))
+    s = NamedSharding(mesh, P("pairs"))
+    di1, di2, dk = (jax.device_put(x, s) for x in (imgs1, imgs2, keys))
+
+    out = estimate_pairs_2d(di1, di2, K, dk, TINY, mesh)
+    from rpe_tpu.geometry import rotation_error
+
+    for b in range(B):
+        ref = estimate_pair(imgs1[b], imgs2[b], K, keys[b], cfg=TINY)
+        assert bool(np.asarray(out["valid"])[b]) == bool(ref["valid"])
+        if not bool(ref["valid"]):
+            continue
+        d = float(rotation_error(jnp.asarray(np.asarray(out["R"])[b]),
+                                 ref["R"]))
+        assert d < 1.0, f"pair {b}: sharded-vs-single rotation delta {d}"
+        tdot = abs(float(np.dot(np.asarray(out["t"])[b],
+                                np.asarray(ref["t"]))))
+        assert tdot > 0.95, f"pair {b}: translation agreement {tdot}"
+
+
 def test_multihost_noop_without_config(monkeypatch):
     from rpe_tpu.parallel.multihost import initialize_distributed
 

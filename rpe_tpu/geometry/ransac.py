@@ -137,9 +137,12 @@ def ransac_essential(
 
     k = min(8, int(E_h.shape[0]))
     _, top_idx = jax.lax.top_k(score, k)
+    # Votes over each hypothesis's OWN inlier set: the consensus points are
+    # the ones the model explains, so they — not the outlier majority —
+    # should disambiguate its twin rotations (see recover_pose docstring).
     votes_top = jax.vmap(
-        lambda Ei: cheirality_votes(Ei, pts1_n, pts2_n, valid_mask)
-    )(E_h[top_idx])
+        lambda Ei, mi: cheirality_votes(Ei, pts1_n, pts2_n, mi)
+    )(E_h[top_idx], inliers_h[top_idx])
     sel = counts[top_idx] * jnp.int32(n + 1) + votes_top
     best = top_idx[jnp.argmax(sel)]
 

@@ -63,28 +63,35 @@ def triangulate_depths(R, t, pts1_n, pts2_n):
     return z1, z2
 
 
-def cheirality_votes(E, pts1_n, pts2_n, valid_mask, dist_thresh=50.0):
+def cheirality_votes(E, pts1_n, pts2_n, valid_mask, dist_thresh=None):
     """Best cheirality vote count over E's four (R, t) candidates.
 
     Cheap scalar used to re-rank competing essential hypotheses inside
     RANSAC: every root of an exact minimal problem fits all sample points
-    (zero Sampson error), but only the true model reconstructs the points
-    in FRONT of both cameras — the disambiguation cv2.recoverPose performs
-    after cv2.findEssentialMat in the reference (pose_estimator.py:522-533).
+    (zero Sampson error), and on low-parallax video pairs a "twisted-pair"
+    E can fit nearly every correspondence — but only the true model
+    reconstructs the points in FRONT of both cameras (the disambiguation
+    cv2.recoverPose performs downstream, pose_estimator.py:522-533).
+
+    dist_thresh=None (default) counts positive depths WITHOUT OpenCV's
+    50-unit distance cap: on small-baseline pairs nearly all points sit
+    beyond 50 baseline units, so the capped count is a handful of noisy
+    votes while the uncapped sign-of-depth count separates true from
+    twisted models by hundreds of votes (measured on salah pair 15->20:
+    true E 464/476 uncapped inlier votes, twisted twins ~0).
     """
     R1, R2, t = decompose_essential(E)
     Rs = jnp.stack([R1, R1, R2, R2], axis=0)
     ts = jnp.stack([t, -t, t, -t], axis=0)
     z1, z2 = triangulate_depths(Rs, ts, pts1_n, pts2_n)
-    good = (
-        (z1 > 0.0) & (z2 > 0.0)
-        & (z1 < dist_thresh) & (z2 < dist_thresh)
-        & valid_mask[None, :]
-    )
+    good = (z1 > 0.0) & (z2 > 0.0) & valid_mask[None, :]
+    if dist_thresh is not None:
+        good = good & (z1 < dist_thresh) & (z2 < dist_thresh)
     return jnp.max(jnp.sum(good.astype(jnp.int32), axis=-1))
 
 
-def recover_pose(E, pts1_n, pts2_n, valid_mask, dist_thresh=50.0):
+def recover_pose(E, pts1_n, pts2_n, valid_mask, dist_thresh=50.0,
+                 inlier_mask=None):
     """Select the cheirality-consistent (R, t) from E's four candidates.
 
     Args:
@@ -94,22 +101,43 @@ def recover_pose(E, pts1_n, pts2_n, valid_mask, dist_thresh=50.0):
         recoverPose in the reference call sees all matched points,
         pose_estimator.py:533; padding slots are masked out here).
       dist_thresh: max depth (units of the unit baseline) to count a point.
+      inlier_mask: optional (N,) bool — the RANSAC inlier set. When given,
+        candidates are ranked by cheirality votes over the INLIERS first,
+        with all-match votes as the tie-break. The reference (like
+        cv2.recoverPose without a mask) votes over all matched points,
+        which lets the outlier majority elect the 180-degree-twin rotation:
+        simulator pair 780->795 decomposes into R1 (111/286 all-match
+        votes, 180 deg wrong, only 6/93 inlier votes) vs R2 (79 all-match
+        votes but 13 inlier votes, 4.3 deg from GT) — the regime behind the
+        reference's five catastrophic simulator pairs (golden CSV frames
+        810-870). Voting on the model's own consensus set is strictly
+        more reliable; documented deviation in PARITY.md.
 
     Returns (R, t, num_good, good_mask):
       R (3, 3), t (3,) unit norm, num_good int32 cheirality votes of the
-      winner, good_mask (N,) bool — points in front of both cameras under
-      the winning pose (the `mask_pose` analogue).
+      winner over all matched points (the reference-comparable count),
+      good_mask (N,) bool — points in front of both cameras under the
+      winning pose (the `mask_pose` analogue).
     """
     R1, R2, t = decompose_essential(E)
     Rs = jnp.stack([R1, R1, R2, R2], axis=0)                  # (4, 3, 3)
     ts = jnp.stack([t, -t, t, -t], axis=0)                    # (4, 3)
 
     z1, z2 = triangulate_depths(Rs, ts, pts1_n, pts2_n)       # (4, N)
-    good = (
-        (z1 > 0.0) & (z2 > 0.0)
-        & (z1 < dist_thresh) & (z2 < dist_thresh)
-        & valid_mask[None, :]
-    )
+    pos = (z1 > 0.0) & (z2 > 0.0)
+    front = pos & (z1 < dist_thresh) & (z2 < dist_thresh)
+    good = front & valid_mask[None, :]
     votes = jnp.sum(good.astype(jnp.int32), axis=-1)          # (4,)
-    best = jnp.argmax(votes)
+    if inlier_mask is None:
+        score = votes
+    else:
+        # Primary: UNCAPPED positive-depth votes over the inlier set (see
+        # cheirality_votes docstring — the 50-unit cap starves the vote on
+        # small-baseline pairs). Secondary: the reference-comparable capped
+        # all-match votes.
+        n = pts1_n.shape[0]
+        votes_inl = jnp.sum((pos & inlier_mask[None, :]).astype(jnp.int32),
+                            axis=-1)
+        score = votes_inl * jnp.int32(n + 1) + votes
+    best = jnp.argmax(score)
     return Rs[best], ts[best], votes[best], good[best]

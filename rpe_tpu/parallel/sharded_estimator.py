@@ -67,7 +67,8 @@ def _estimate_pair_hyp_sharded(img1, img2, K, key, cfg: EstimatorConfig,
         min_valid = 5 if cfg.ransac.solver == "5pt" else 8
         ok = (num_matches >= min_valid) & (num_inliers >= 5)
 
-        R, t, votes, _ = recover_pose(E, n1, n2, mvalid)
+        R, t, votes, _ = recover_pose(E, n1, n2, mvalid,
+                                      inlier_mask=inlier_mask)
 
     valid = ok & (num_matches >= 5)
     eye = jnp.eye(3, dtype=R.dtype)

@@ -95,7 +95,8 @@ def _match_to_pose(det1, det2, K, key, cfg: EstimatorConfig):
             refit_rounds=cfg.ransac.refit_rounds,
             solver=cfg.ransac.solver,
         )
-        R, t, votes, _ = recover_pose(r["E"], n1, n2, mvalid)
+        R, t, votes, _ = recover_pose(r["E"], n1, n2, mvalid,
+                                      inlier_mask=r["inlier_mask"])
 
     valid = r["ok"] & (num_matches >= 5)
     eye = jnp.eye(3, dtype=R.dtype)

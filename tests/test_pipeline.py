@@ -49,6 +49,41 @@ def test_simulator_subset_matches_golden(sim_pipeline):
     assert (ours <= theirs + 2.5).all(), (ours, theirs)
 
 
+def test_salah_subset_matches_golden(tmp_path_factory):
+    """First 6 pairs of the hardest dataset (near-planar indoor scene,
+    zyx convention) vs its golden CSV — the regime where the 5pt solver,
+    chart flip, and cheirality re-rank earn their keep. Statistical gate:
+    mean within golden + 1 deg, no new catastrophic pair in the prefix."""
+    base = "/root/reference/evaluation-runs/vo_dataset_salah"
+    from rpe_tpu.pipeline.calibration import load_K_npz
+
+    pipe = PoseEstimationPipeline(
+        data_dir=f"{base}/data",
+        gt_filename="camera_poses_zyx.txt",
+        camera_matrix=load_K_npz(f"{base}/data/calibration.npz"),
+        results_dir=str(tmp_path_factory.mktemp("salah_results")),
+        feature_method="ORB",
+        norm_type="Hamming",
+        max_matches=500,
+        euler_convention="zyx",
+        use_vp_refinement=False,
+        chunk=6,
+    )
+    pipe.setup()
+    frames = pipe.gt_loader.get_frame_indices(step=5)[:7]
+    est = pipe.batch_processor.process_sequence(frames)
+    ev = pipe.pose_evaluator.evaluate_sequence(est)
+
+    golden = pd.read_csv(f"{base}/results/evaluation_results.csv")
+    g = golden[golden.frame.isin(est["frames"])].sort_values("frame")
+    assert len(g) == len(est["frames"])
+    ours = np.asarray(ev["rotation_error"])
+    theirs = g["rotation_error"].to_numpy()
+    assert ours.mean() <= theirs.mean() + 1.0, (ours, theirs)
+    assert (ours <= np.maximum(theirs + 3.0, 10.0)).all(), (ours, theirs)
+    assert not (ours > 90).any(), f"catastrophic pair in prefix: {ours}"
+
+
 def test_comparison_csv_schema(sim_pipeline, tmp_path):
     frames = sim_pipeline.gt_loader.get_frame_indices(step=15)[:3]
     est = sim_pipeline.batch_processor.process_sequence(frames)

@@ -327,17 +327,22 @@ def five_point_essential(pts1, pts2):
     from ..ops.fast import _use_pallas
 
     if _use_pallas() and not os.environ.get("RPE_NO_PALLAS_5PT"):
-        # VMEM-resident fused grid scan + bracketing + bisection with the
-        # hypothesis batch in the lane dimension (ops/five_point_pallas.py)
-        # — the XLA formulation below pads its 10-wide trailing dims to 128
-        # lanes on every LU step (docs/PERF_LOG.md).
-        from ..ops.five_point_pallas import find_root_brackets
+        # Fully fused VMEM-resident solve: grid scan, bracketing, bisection,
+        # chart-aware null-vector extraction AND Gauss-Newton polish in one
+        # kernel with the hypothesis batch in the lane dimension
+        # (ops/five_point_pallas.py). The XLA formulation below pads its
+        # 10/20-wide trailing dims to 128 lanes on every op — measured
+        # ~2 ms/pair of extraction+GN alone at the bench shape.
+        from ..ops.five_point_pallas import solve_roots_polished
 
         flat = coeffs.reshape(-1, 10, 20)
-        t_lo, t_hi, has_root = find_root_brackets(flat)
-        t_lo = t_lo.reshape(*batch, MAX_ROOTS)
-        t_hi = t_hi.reshape(*batch, MAX_ROOTS)
+        x, y, r_var, flip, has_root = solve_roots_polished(flat)
+        x = x.reshape(*batch, MAX_ROOTS)
+        y = y.reshape(*batch, MAX_ROOTS)
+        r_var = r_var.reshape(*batch, MAX_ROOTS)
+        flip = flip.reshape(*batch, MAX_ROOTS)
         has_root = has_root.reshape(*batch, MAX_ROOTS)
+        return _assemble_candidates(null4, x, y, r_var, flip, has_root)
     else:
         # 1) coarse scan on a tan-spaced grid over the whole real line
         t = jnp.linspace(-0.5 * jnp.pi + 1e-3, 0.5 * jnp.pi - 1e-3, GRID)
@@ -409,7 +414,14 @@ def five_point_essential(pts1, pts2):
 
     # Gauss-Newton polish on the full cubic system, in the root's chart.
     x, y, r_var = _gn_refine(coeffs_r, x, y, r_var)
+    return _assemble_candidates(null4, x, y, r_var, flip, has_root)
 
+
+def _assemble_candidates(null4, x, y, r_var, flip, has_root):
+    """(x, y, r_var, flip) per root -> normalized E candidates.
+
+    E = x X + y Y + r Z + W in the affine chart; x X + y Y + Z + r W in the
+    projective (flip) chart."""
     X = null4[..., None, :, 0]
     Y = null4[..., None, :, 1]
     Z = null4[..., None, :, 2]

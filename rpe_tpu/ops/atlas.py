@@ -133,6 +133,33 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
     win_raw = windows(atlas)
     win_blur = windows(blurred)
 
+    # relative row offset of each keypoint inside its band window (needed by
+    # both extraction backends)
+    _band_base = (jnp.arange(nb) * BAND)[:, None]             # (NB, 1)
+    _rel_y = tbl_y0 - _band_base                              # (NB, CAP)
+
+    import os
+
+    from .fast import _use_pallas
+
+    if _use_pallas() and not os.environ.get("RPE_NO_PALLAS_EXTRACT"):
+        # VMEM-resident one-hot selection (ops/extract_pallas.py): the XLA
+        # path below materializes ~1.4 GB/image of one-hot operands in HBM.
+        from .extract_pallas import extract_windows
+
+        rawp, blurp = extract_windows(win_raw, win_blur, tbl_x0, _rel_y)
+        raw = rawp[:, :, :patch, :patch].reshape(nb * CAP, patch, patch)
+        blur = blurp[:, :, :patch, :patch].reshape(nb * CAP, patch, patch)
+        slot_of_sorted = jnp.where(keep, flat, 0)             # (K,)
+        valid_sorted = jnp.take(valid, order) & keep
+        return {
+            "patches_raw": raw,
+            "patches_blur": blur,
+            "slot_of_sorted": slot_of_sorted,
+            "order": order,
+            "valid_sorted": valid_sorted,
+        }
+
     lane = jnp.arange(wp)
     row = jnp.arange(WIN)
     pj = jnp.arange(patch)
@@ -152,19 +179,25 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
                  == (crely[:, :, None, None] + pj[None, None, :, None]))
         rowoh = rowoh.astype(jnp.float32)
 
-        def sel(w):
-            # One-hot selection: exactly one nonzero product per output, so
-            # DEFAULT precision (bf16x3 decomposition, ~f32-exact for image
-            # values) suffices — HIGHEST doubles the MXU passes for nothing.
-            # lanes first: (NBC, WIN, CAP*patch)
-            t = jnp.einsum("bvx,bxm->bvm", w, col,
-                           preferred_element_type=jnp.float32)
-            t = t.reshape(wr.shape[0], WIN, CAP, patch)
+        # One-hot selection: exactly one nonzero product per output, so
+        # DEFAULT precision (bf16x3 decomposition, ~f32-exact for image
+        # values) suffices — HIGHEST doubles the MXU passes for nothing.
+        # Raw and blurred windows are STACKED along the row axis so the
+        # lane-selection matmul runs once at M=2*WIN=80. (Perf-neutral in
+        # practice — the stage is bound by the materialized one-hot operand
+        # traffic, not the matmul — but it halves the op count and shares
+        # the `col` operand explicitly.)
+        wcat = jnp.concatenate([wr, wb], axis=1)              # (NBC, 2W, WP)
+        t = jnp.einsum("bvx,bxm->bvm", wcat, col,
+                       preferred_element_type=jnp.float32)
+        t = t.reshape(wr.shape[0], 2, WIN, CAP, patch)
+
+        def sel_rows(tw):
             # rows: (NBC, CAP, patch_i, patch_j)
-            return jnp.einsum("bciv,bvcj->bcij", rowoh, t,
+            return jnp.einsum("bciv,bvcj->bcij", rowoh, tw,
                               preferred_element_type=jnp.float32)
 
-        return sel(wr), sel(wb)
+        return sel_rows(t[:, 0]), sel_rows(t[:, 1])
 
     nbc = 10  # bands per chunk (memory: col one-hot ~ WP*CAP*patch*4B*nbc)
     nb_pad = -(-nb // nbc) * nbc

@@ -1,0 +1,93 @@
+"""Pallas banded patch extraction: one-hot selection built in VMEM.
+
+The XLA formulation in ops/atlas.banded_extract materializes its column
+one-hot operand in HBM — ~1.4 GB of operand traffic per image at the bench
+shape, making extraction the largest single block of the detect budget
+(2.37 ms/image of 4.7, docs/PERF_LOG.md round-2 stage budget). This kernel
+builds the one-hot in VMEM scratch per band, runs the same lane-selection
+matmul MXU-resident, and row-selects each keypoint with a dynamic sublane
+slice — HBM traffic drops to the windows + patches themselves.
+
+Replaces only the window-selection math; banding, CAP-slot assignment and
+ordering stay in ops/atlas.py (shared with the XLA fallback path), so the
+outputs are bit-identical (one-hot selection is exact in every precision).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .atlas import BAND, CAP, WIN
+
+_PP = 32          # padded patch edge (31 -> 32 lanes per keypoint slot)
+
+
+def _extract_kernel(win_ref, x0v_ref, ry_ref, raw_ref, blur_ref):
+    # win_ref: (1, 2*WIN, WP) — rows 0:WIN raw, WIN:2*WIN blurred
+    # x0v_ref: (1, CAP*_PP) int32 column starts per slot lane (dead = -1e6)
+    # ry_ref:  (1, CAP) int32 in SMEM — window-relative row start per slot
+    wp = win_ref.shape[2]
+    w = win_ref[0]                                       # (2*WIN, WP)
+    x0v = x0v_ref[0]                                     # (CAP*_PP,)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (wp, CAP * _PP), 0)
+    col = (rows == x0v[None, :]).astype(jnp.float32)     # (WP, CAP*_PP)
+    t = jnp.dot(w, col, preferred_element_type=jnp.float32)  # (2W, CAP*_PP)
+    raws, blurs = [], []
+    for c in range(CAP):
+        ry = ry_ref[0, c]
+        raws.append(jax.lax.dynamic_slice(t, (ry, c * _PP), (_PP, _PP)))
+        blurs.append(jax.lax.dynamic_slice(t, (ry + WIN, c * _PP),
+                                           (_PP, _PP)))
+    raw_ref[0] = jnp.concatenate(raws, axis=1)
+    blur_ref[0] = jnp.concatenate(blurs, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def extract_windows(win_raw, win_blur, tbl_x0, rel_y, interpret: bool = False):
+    """Extract CAP padded 32x32 patches per band from both window stacks.
+
+    win_raw/win_blur: (NB, WIN, WP) band windows (ops/atlas.banded_extract's
+    `windows()` views). tbl_x0: (NB, CAP) int32 column starts; rel_y:
+    (NB, CAP) int32 window-relative row starts (0..BAND-1).
+
+    Returns (raw, blur): (NB, CAP, _PP, _PP) f32 — [:31, :31] is the patch.
+    """
+    nb, _, wp = win_raw.shape
+    j = jnp.arange(_PP, dtype=jnp.int32)
+    # per-slot-lane column index; j >= 31 and parked slots never match
+    x0v = tbl_x0[:, :, None] + j[None, None, :]
+    x0v = jnp.where(j[None, None, :] < 31, x0v, -1_000_000)
+    x0v = x0v.reshape(nb, CAP * _PP)
+
+    wcat = jnp.concatenate([win_raw, win_blur], axis=1)      # (NB, 2W, WP)
+
+    out_sd = jax.ShapeDtypeStruct((nb, _PP, CAP * _PP), jnp.float32)
+    raw, blur = pl.pallas_call(
+        _extract_kernel,
+        out_shape=(out_sd, out_sd),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 2 * WIN, wp), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CAP * _PP), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CAP), lambda b: (b, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, _PP, CAP * _PP), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _PP, CAP * _PP), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(wcat, x0v, rel_y.astype(jnp.int32))
+
+    raw = raw.reshape(nb, _PP, CAP, _PP).transpose(0, 2, 1, 3)
+    blur = blur.reshape(nb, _PP, CAP, _PP).transpose(0, 2, 1, 3)
+    return raw, blur

@@ -156,6 +156,231 @@ def _roots_kernel(cp_ref, zlo_ref, zhi_ref, hr_ref, sgn_ref):
         hr_ref[r] = has[r]
 
 
+# ---------------------------------------------------------------------------
+# Fused solve: brackets + chart-aware null-vector extraction + Gauss-Newton
+# ---------------------------------------------------------------------------
+
+# xy-degree of each hidden-variable matrix column group (five_point._XY_GROUPS
+# order); the z-degree of group g's polynomial entries is bounded by 3 - deg.
+_G_DEG = (3, 3, 3, 3, 2, 2, 2, 1, 1, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _flip20():
+    """FLIP20[m] = index of monomial (a, b, 3-a-b-c) (the projective chart
+    flip of five_point._flip_table, as an index map)."""
+    from ..geometry.five_point import _M3, _M3_IDX
+
+    return tuple(_M3_IDX[(a, b, 3 - a - b - c)] for (a, b, c) in _M3)
+
+
+@functools.lru_cache(maxsize=None)
+def _m3_exps():
+    from ..geometry.five_point import _M3
+
+    return tuple(_M3)
+
+
+def _entry_chart(cp_ref, e, g, rv, flipm):
+    """Hidden-variable matrix entry (e, g) evaluated at the chart variable
+    rv: Horner over the entry's z-polynomial, with the coefficient order
+    reversed per lane where flipm selects the projective (w = 1/z) chart
+    (five_point._flip_table semantics — within a column group of xy-degree
+    d the z-degree is <= 3-d and the flip reverses exactly those)."""
+    kmax = 3 - _G_DEG[g]
+    c = [cp_ref[k * 100 + e * 10 + g] for k in range(kmax + 1)]
+    val = jnp.where(flipm, c[0], c[kmax])
+    for k in range(kmax - 1, -1, -1):
+        val = val * rv + jnp.where(flipm, c[kmax - k], c[k])
+    return val
+
+
+def _solve_root(cp_ref, ce_ref, rv, flipm, has):
+    """Null vector of M(rv) in the selected chart -> (x, y) -> 4-iteration
+    Gauss-Newton on the 10 cubic constraints. All values are (SUB, LANES)
+    batch registers; returns polished (x, y, rv).
+
+    Extraction: the unpivoted LU of M already reduces it to U with the
+    near-zero pivot in the last position at a converged root, so the null
+    vector comes from back-substitution with m[9] = 1 — two orders of
+    magnitude cheaper than the XLA path's M^T M inverse iteration, and the
+    GN polish (same recurrence as five_point._gn_refine) does the final
+    convergence either way.
+    """
+    n = 10
+    M = [[_entry_chart(cp_ref, e, g, rv, flipm) for g in range(n)]
+         for e in range(n)]
+    # full unpivoted LU (same recurrence as _lu_sign, keeping U)
+    for k in range(n - 1):
+        piv = M[k][k]
+        inv = 1.0 / jnp.where(jnp.abs(piv) > _EPS, piv, 1.0)
+        for i in range(k + 1, n):
+            f = M[i][k] * inv
+            for j in range(k + 1, n):
+                M[i][j] = M[i][j] - f * M[k][j]
+            M[i][k] = f
+    # back-substitution U v = 0 with v[9] = 1
+    v = [None] * n
+    v[9] = jnp.ones_like(rv)
+    for i in range(n - 2, -1, -1):
+        s = M[i][9]
+        for j in range(i + 1, n - 1):
+            s = s + M[i][j] * v[j]
+        d = M[i][i]
+        d = jnp.where(jnp.abs(d) > 1e-12, d, jnp.where(d >= 0, 1e-12, -1e-12))
+        v[i] = -s / d
+    x = jnp.clip(v[7], -1e6, 1e6)
+    y = jnp.clip(v[8], -1e6, 1e6)
+
+    # chart-selected constraint coefficients ce_c[e][m]
+    FLIP = _flip20()
+    exps = _m3_exps()
+
+    def ce(e, m):
+        return jnp.where(flipm, ce_ref[400 + e * 20 + FLIP[m]],
+                         ce_ref[400 + e * 20 + m])
+
+    def gn_body(_, carry):
+        x, y, rv = carry
+        xp = [jnp.ones_like(x), x, x * x, x * x * x]
+        yp = [jnp.ones_like(y), y, y * y, y * y * y]
+        rp = [jnp.ones_like(rv), rv, rv * rv, rv * rv * rv]
+        m = [xp[a] * yp[b] * rp[c] for (a, b, c) in exps]
+        dmx = [a * xp[a - 1] * yp[b] * rp[c] if a > 0 else None
+               for (a, b, c) in exps]
+        dmy = [b * xp[a] * yp[b - 1] * rp[c] if b > 0 else None
+               for (a, b, c) in exps]
+        dmr = [c * xp[a] * yp[b] * rp[c - 1] if c > 0 else None
+               for (a, b, c) in exps]
+        zero = jnp.zeros_like(x)
+        JtJ = [[zero] * 3 for _ in range(3)]
+        Jtr = [zero] * 3
+        for e in range(10):
+            cem = [ce(e, mm) for mm in range(20)]
+            r_e = sum(cem[mm] * m[mm] for mm in range(20))
+            J = []
+            for dm in (dmx, dmy, dmr):
+                J.append(sum(cem[mm] * dm[mm] for mm in range(20)
+                             if dm[mm] is not None))
+            for a_ in range(3):
+                Jtr[a_] = Jtr[a_] + J[a_] * r_e
+                for b_ in range(a_, 3):
+                    JtJ[a_][b_] = JtJ[a_][b_] + J[a_] * J[b_]
+        a, b_, c = JtJ[0][0] + 1e-12, JtJ[0][1], JtJ[0][2]
+        e_, f = JtJ[1][1] + 1e-12, JtJ[1][2]
+        i_ = JtJ[2][2] + 1e-12
+        det = (a * (e_ * i_ - f * f) - b_ * (b_ * i_ - f * c)
+               + c * (b_ * f - e_ * c))
+        det = jnp.where(jnp.abs(det) > _EPS, det, 1.0)
+        gx, gy, gz = Jtr
+        dx = -((e_ * i_ - f * f) * gx + (c * f - b_ * i_) * gy
+               + (b_ * f - c * e_) * gz) / det
+        dy = -((c * f - b_ * i_) * gx + (a * i_ - c * c) * gy
+               + (c * b_ - a * f) * gz) / det
+        dz = -((b_ * f - c * e_) * gx + (c * b_ - a * f) * gy
+               + (a * e_ - b_ * b_) * gz) / det
+        return x + dx, y + dy, rv + dz
+
+    x, y, rv = jax.lax.fori_loop(0, 4, gn_body, (x, y, rv))
+    return x, y, rv
+
+
+def _polish_kernel(cpe_ref, blo_ref, bhi_ref, bhas_ref,
+                   x_ref, y_ref, rv_ref, fl_ref, hr_ref):
+    """Per-root chart selection + extraction + GN polish, given the bisected
+    brackets from `_roots_kernel`. A separate pallas_call keeps each Mosaic
+    program small (the single fused variant took >25 min of remote compile);
+    the bracket intermediate is 30 floats per hypothesis — negligible."""
+
+    def root_body(r, _):
+        tlo = blo_ref[pl.ds(r, 1)][0]
+        thi = bhi_ref[pl.ds(r, 1)][0]
+        hroot = bhas_ref[pl.ds(r, 1)][0]
+        z = jnp.tan(0.5 * (tlo + thi))
+        flipm = jnp.abs(z) > 1.0
+        safe = jnp.where(jnp.abs(z) > 1e-20, z, 1.0)
+        rv = jnp.where(flipm, 1.0 / safe, z)
+        x, y, rv2 = _solve_root(cpe_ref, cpe_ref, rv, flipm, hroot)
+        # invalid brackets carry garbage; zero them so downstream masking
+        # never sees non-finite values
+        ok = hroot > 0.5
+        x_ref[pl.ds(r, 1)] = jnp.where(ok, x, 0.0)[None]
+        y_ref[pl.ds(r, 1)] = jnp.where(ok, y, 0.0)[None]
+        rv_ref[pl.ds(r, 1)] = jnp.where(ok, rv2, 0.0)[None]
+        fl_ref[pl.ds(r, 1)] = flipm.astype(jnp.float32)[None]
+        hr_ref[pl.ds(r, 1)] = hroot[None]
+        return 0
+
+    jax.lax.fori_loop(0, MAX_ROOTS, root_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def solve_roots_polished(coeffs, interpret: bool = False):
+    """Fused root solve: brackets + bisection + chart-aware extraction + GN.
+
+    Args:
+      coeffs: (B, 10, 20) row-normalized constraint coefficients.
+
+    Returns (x, y, rv, flip, has_root), each (B, MAX_ROOTS):
+      the polished solution of the 10 cubic constraints per real root, in
+      the chart selected by `flip` — E = x X + y Y + rv Z + W where flip is
+      False, E = x X + y Y + Z + rv W where True (five_point_essential
+      assembles it). Replaces the XLA nullvector + _gn_refine path, whose
+      10/20-wide trailing dims pad to 128 lanes on every op (~2 ms/pair of
+      the RANSAC budget at the bench shape — the dominant pipeline cost).
+    """
+    B = coeffs.shape[0]
+    # [cp (400); ce (200)] in one MXU matmul (batch-last transpose implicit)
+    T = jnp.asarray(_prep_matrix())                  # (400, 200)
+    T2 = jnp.concatenate([T, jnp.eye(200, dtype=jnp.float32)], axis=0)
+    cpe = jnp.einsum("qm,bm->qb", T2, coeffs.reshape(B, 200))   # (600, B)
+
+    tb = -(-B // _TILE) * _TILE
+    if tb != B:
+        cpe = jnp.pad(cpe, ((0, 0), (0, tb - B)))
+    n_tiles = tb // _TILE
+    cpe = cpe.reshape(600, n_tiles, _SUB, _LANES).reshape(
+        600, n_tiles * _SUB, _LANES)
+
+    blk_out = pl.BlockSpec((MAX_ROOTS, _SUB, _LANES), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+    out_sd = jax.ShapeDtypeStruct((MAX_ROOTS, n_tiles * _SUB, _LANES),
+                                  jnp.float32)
+
+    # Stage 1: bracket + bisect (the proven _roots_kernel, reading the cp
+    # rows of the combined operand).
+    blk_cp = pl.BlockSpec((400, _SUB, _LANES), lambda i: (0, i, 0),
+                          memory_space=pltpu.VMEM)
+    t_lo, t_hi, has_p = pl.pallas_call(
+        _roots_kernel,
+        out_shape=(out_sd, out_sd, out_sd),
+        grid=(n_tiles,),
+        in_specs=[blk_cp],
+        out_specs=(blk_out, blk_out, blk_out),
+        scratch_shapes=[pltpu.VMEM((GRID, _SUB, _LANES), jnp.float32)],
+        interpret=interpret,
+    )(cpe[:400])
+
+    # Stage 2: chart-aware extraction + Gauss-Newton polish.
+    blk_cpe = pl.BlockSpec((600, _SUB, _LANES), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+    x, y, rv, fl, has = pl.pallas_call(
+        _polish_kernel,
+        out_shape=(out_sd,) * 5,
+        grid=(n_tiles,),
+        in_specs=[blk_cpe, blk_out, blk_out, blk_out],
+        out_specs=(blk_out,) * 5,
+        interpret=interpret,
+    )(cpe, t_lo, t_hi, has_p)
+
+    def unpack(x):
+        x = x.reshape(MAX_ROOTS, n_tiles, _SUB, _LANES).reshape(MAX_ROOTS, tb)
+        return x[:, :B].T
+
+    return (unpack(x), unpack(y), unpack(rv), unpack(fl) > 0.5,
+            unpack(has) > 0.5)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def find_root_brackets(coeffs, interpret: bool = False):
     """Bisected root brackets of det M(z) for each hypothesis.

@@ -101,10 +101,11 @@ class BatchProcessor:
         n_chips = self.mesh.devices.size if self.mesh is not None else 1
         meter = ThroughputMeter(n_chips=n_chips)
         meter.start()
-        for start in range(0, n_pairs, chunk):
+        def _stage(start):
+            """Build one chunk's device inputs; transfers are enqueued
+            asynchronously so staging chunk c+1 overlaps chunk c's compute
+            (double buffering — H2D is the slow path on tunneled hosts)."""
             end = min(start + chunk, n_pairs)
-            if all(i in done for i in range(start, end)):
-                continue
             idx = list(range(start, end))
             pad = chunk - len(idx)
             sel1 = idx + [idx[-1]] * pad
@@ -116,16 +117,29 @@ class BatchProcessor:
                 # padded tail repeats the last frame (same-frame pairs are
                 # discarded below).
                 fsel = list(range(start, end + 1)) + [end] * pad
-                out = estimate_sequence_batched(
-                    jnp.asarray(imgs[fsel]), K, keys, cfg=cfg)
+                arrs = (jnp.asarray(imgs[fsel]), K, keys)
             else:
                 # Mesh path shards the pair axis; frames are duplicated per
                 # pair so each device's block is self-contained.
                 sel2 = [i + 1 for i in sel1]
-                i1 = jax.device_put(jnp.asarray(imgs[sel1]), shard)
-                i2 = jax.device_put(jnp.asarray(imgs[sel2]), shard)
-                keys = jax.device_put(keys, shard)
-                out = estimate_pairs_batched(i1, i2, K, keys, cfg=cfg)
+                arrs = (jax.device_put(jnp.asarray(imgs[sel1]), shard),
+                        jax.device_put(jnp.asarray(imgs[sel2]), shard),
+                        K, jax.device_put(keys, shard))
+            return start, end, arrs
+
+        starts = [s for s in range(0, n_pairs, chunk)
+                  if not all(i in done
+                             for i in range(s, min(s + chunk, n_pairs)))]
+        pending = _stage(starts[0]) if starts else None
+        for si in range(len(starts)):
+            start, end, arrs = pending
+            if shard is None:
+                out = estimate_sequence_batched(*arrs, cfg=cfg)
+            else:
+                out = estimate_pairs_batched(*arrs, cfg=cfg)
+            # stage the next chunk while the device runs this one
+            pending = _stage(starts[si + 1]) if si + 1 < len(starts) else None
+            idx = list(range(start, end))
             n = len(idx)
             R_out[start:end] = np.asarray(out["R"])[:n]
             t_out[start:end] = np.asarray(out["t"])[:n]

@@ -79,6 +79,10 @@ def estimate_pair(img1, img2, K, key, cfg: EstimatorConfig = EstimatorConfig()):
 
 def _match_to_pose(det1, det2, K, key, cfg: EstimatorConfig):
     """Match -> RANSAC -> recoverPose given precomputed detections."""
+    from ..utils.sanitize import audit_finite, audit_rotation
+
+    audit_finite("detect", xy1=det1["xy"], xy2=det2["xy"],
+                 score1=det1["score"], score2=det2["score"])
     matches = match_features(det1, det2, cfg)
     pts1 = jnp.take(det1["xy"], matches["idx1"], axis=0)
     pts2 = jnp.take(det2["xy"], matches["idx2"], axis=0)
@@ -98,6 +102,8 @@ def _match_to_pose(det1, det2, K, key, cfg: EstimatorConfig):
         R, t, votes, _ = recover_pose(r["E"], n1, n2, mvalid,
                                       inlier_mask=r["inlier_mask"])
 
+    audit_finite("ransac", E=r["E"])
+    audit_rotation("recover_pose", R)
     valid = r["ok"] & (num_matches >= 5)
     eye = jnp.eye(3, dtype=R.dtype)
     R = jnp.where(valid, R, eye)

@@ -26,3 +26,16 @@ import pytest
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jax_compiler_state():
+    """Drop compiled-executable caches after every test module.
+
+    A full-suite run accumulates hundreds of XLA CPU executables; twice the
+    suite segfaulted inside backend_compile on the LAST big program
+    (test_sift pose parity) while the same test passes in isolation —
+    bounding live compiler state avoids the crash. Costs only recompiles
+    across module boundaries, which never share programs anyway."""
+    yield
+    jax.clear_caches()

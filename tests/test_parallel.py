@@ -105,3 +105,38 @@ def test_stage_timer_and_throughput():
     m.start()
     m.stop(pairs=20, sync_on=jnp.ones((2,)))
     assert m.pairs_per_sec_per_chip() > 0
+
+
+def test_debug_audit_checks(capfd, monkeypatch):
+    """RPE_DEBUG_CHECKS inserts jax.debug audit counters into the compiled
+    path without changing results (SURVEY §5 sanitizer row)."""
+    import jax
+    import jax.numpy as jnp
+    from rpe_tpu.config import EstimatorConfig, OrbConfig, MatcherConfig, \
+        RansacConfig
+    from rpe_tpu.pipeline.estimator import estimate_pair
+
+    cfg = EstimatorConfig(
+        orb=OrbConfig(nfeatures=128, nlevels=2, max_kpts=128),
+        matcher=MatcherConfig(max_matches=64),
+        ransac=RansacConfig(num_hypotheses=64, solver="8pt"),
+    )
+    rng2 = np.random.default_rng(1)
+    img = jnp.asarray(
+        rng2.uniform(0, 255, (12, 16)).astype(np.float32
+                                              ).repeat(8, 0).repeat(8, 1))
+    K = jnp.asarray(np.array([[120.0, 0, 64], [0, 120.0, 48], [0, 0, 1]],
+                             np.float32))
+    base = estimate_pair(img, img, K, jax.random.PRNGKey(0), cfg=cfg)
+
+    monkeypatch.setenv("RPE_DEBUG_CHECKS", "1")
+    jax.clear_caches()  # the flag is a trace-time constant
+    audited = estimate_pair(img, img, K, jax.random.PRNGKey(0), cfg=cfg)
+    jax.block_until_ready(audited)
+    out = capfd.readouterr().out
+    assert "[AUDIT] detect/xy1" in out
+    assert "[AUDIT] recover_pose" in out
+    np.testing.assert_array_equal(np.asarray(base["R"]),
+                                  np.asarray(audited["R"]))
+    monkeypatch.delenv("RPE_DEBUG_CHECKS")
+    jax.clear_caches()

@@ -195,6 +195,65 @@ def test_near_planar_root_recall_vs_pivoted_f64_oracle(rng):
         f"solver {solver_hits}/{B} vs pivoted f64 oracle {oracle_hits}/{B}")
 
 
+def test_near_planar_root_recall_fused_kernel(rng):
+    """Same adversarial regime through the Pallas fused-solve path
+    (interpret mode): in-kernel backsub extraction + GN must keep the
+    ground-truth-root recall of the XLA nullvector path."""
+    from rpe_tpu.geometry.epipolar import _build_epipolar_rows
+    from rpe_tpu.ops.five_point_pallas import solve_roots_polished
+
+    B = 40
+    P1, P2, EG = [], [], []
+    for _ in range(B):
+        p1, p2, E_gt = _near_planar_problem(rng)
+        P1.append(p1)
+        P2.append(p2)
+        EG.append(E_gt)
+    A1, A2 = jnp.asarray(np.stack(P1)), jnp.asarray(np.stack(P2))
+    rows = _build_epipolar_rows(A1, A2)
+    null4 = _householder_null4(rows)
+    coeffs = _build_constraint_coeffs(null4)
+    rn = jnp.sqrt(jnp.sum(coeffs * coeffs, axis=-1, keepdims=True) + 1e-20)
+    coeffs = coeffs / rn
+
+    x, y, rv, flip, has = (np.asarray(a) for a in
+                           solve_roots_polished(coeffs, interpret=True))
+    # XLA-path recall on the same coeffs for the comparison baseline
+    from rpe_tpu.geometry.five_point import five_point_essential
+
+    Es_x, ok_x = (np.asarray(a) for a in five_point_essential(A1, A2))
+
+    n4 = np.asarray(null4)
+    k_hits = x_hits = 0
+    for b in range(B):
+        best = np.inf
+        for r in range(10):
+            if not has[b, r]:
+                continue
+            cz = 1.0 if flip[b, r] else rv[b, r]
+            cw = rv[b, r] if flip[b, r] else 1.0
+            e = (x[b, r] * n4[b][:, 0] + y[b, r] * n4[b][:, 1]
+                 + cz * n4[b][:, 2] + cw * n4[b][:, 3])
+            nn = np.linalg.norm(e)
+            if not np.isfinite(nn) or nn < 1e-12:
+                continue
+            E = (e / nn).reshape(3, 3)
+            best = min(best, np.linalg.norm(E - EG[b]),
+                       np.linalg.norm(E + EG[b]))
+        if best < 1e-3:
+            k_hits += 1
+        bx = np.inf
+        for E, v in zip(Es_x[b], ok_x[b]):
+            if v:
+                E = E / np.linalg.norm(E)
+                bx = min(bx, np.linalg.norm(E - EG[b]),
+                         np.linalg.norm(E + EG[b]))
+        if bx < 1e-3:
+            x_hits += 1
+    assert k_hits >= x_hits - 3, (
+        f"kernel {k_hits}/{B} vs XLA path {x_hits}/{B}")
+
+
 def test_ransac_5pt_succeeds_with_exactly_five_matches(rng):
     """Reference parity: cv2.findEssentialMat's 5pt path works at N=5
     (src/core/pose_estimator.py:514 requires only >=5 matches). At exactly

@@ -35,7 +35,9 @@ from .geometry.rotations import (
 from .io.image_loader import load_image, load_image_pair
 from .pipeline.batch import BatchProcessor
 from .pipeline.calibration import CameraCalibration
-from .pipeline.estimator import PoseEstimator, estimate_pair, estimate_pairs_batched
+from .pipeline.estimator import (PoseEstimator, estimate_pair,
+                                 estimate_pairs_batched,
+                                 estimate_sequence_batched)
 from .pipeline.evaluator import PoseEvaluator
 from .pipeline.ground_truth import GroundTruthLoader
 from .pipeline.orchestrator import PoseEstimationPipeline
@@ -53,6 +55,7 @@ __all__ = [
     "Visualizer",
     "estimate_pair",
     "estimate_pairs_batched",
+    "estimate_sequence_batched",
     "EstimatorConfig",
     "OrbConfig",
     "SiftConfig",

@@ -106,7 +106,36 @@ def bench_opencv(img1, img2, K, reps=3):
     return reps / (time.perf_counter() - t0)
 
 
+def _probe_backend(timeout_s: float = 120.0) -> bool:
+    """True when the (possibly tunneled) backend answers within timeout.
+
+    A wedged tunnel blocks jax.devices() forever (CLAUDE.md hazard #5);
+    fail fast with a clear message instead of hanging the driver."""
+    import threading
+
+    ok = [False]
+    done = threading.Event()
+
+    def probe():
+        try:
+            import jax
+
+            ok[0] = len(jax.devices()) > 0
+        except Exception:
+            ok[0] = False
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    done.wait(timeout_s)
+    return ok[0]
+
+
 def main():
+    if not _probe_backend():
+        print("[bench] backend unresponsive (tunnel wedged?); aborting",
+              file=sys.stderr)
+        sys.exit(1)
     img1, img2, K = (*_load_frames(), _camera())
     tpu_pps, out = bench_tpu(img1, img2, K)
     try:

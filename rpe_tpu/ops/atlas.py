@@ -163,10 +163,7 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
     lane = jnp.arange(wp)
     row = jnp.arange(WIN)
     pj = jnp.arange(patch)
-
-    # relative row offset of each keypoint inside its band window
-    band_base = (jnp.arange(nb) * BAND)[:, None]              # (NB, 1)
-    rel_y = tbl_y0 - band_base                                # (NB, CAP)
+    rel_y = _rel_y                                            # (NB, CAP)
 
     def per_band_chunk(wr, wb, cx0, crely):
         # wr/wb (NBC, WIN, WP); cx0/crely (NBC, CAP)

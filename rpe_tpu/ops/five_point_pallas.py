@@ -195,7 +195,7 @@ def _entry_chart(cp_ref, e, g, rv, flipm):
     return val
 
 
-def _solve_root(cp_ref, ce_ref, rv, flipm, has):
+def _solve_root(cp_ref, ce_ref, rv, flipm):
     """Null vector of M(rv) in the selected chart -> (x, y) -> 4-iteration
     Gauss-Newton on the 10 cubic constraints. All values are (SUB, LANES)
     batch registers; returns polished (x, y, rv).
@@ -300,7 +300,7 @@ def _polish_kernel(cpe_ref, blo_ref, bhi_ref, bhas_ref,
         flipm = jnp.abs(z) > 1.0
         safe = jnp.where(jnp.abs(z) > 1e-20, z, 1.0)
         rv = jnp.where(flipm, 1.0 / safe, z)
-        x, y, rv2 = _solve_root(cpe_ref, cpe_ref, rv, flipm, hroot)
+        x, y, rv2 = _solve_root(cpe_ref, cpe_ref, rv, flipm)
         # invalid brackets carry garbage; zero them so downstream masking
         # never sees non-finite values
         ok = hroot > 0.5

@@ -496,6 +496,7 @@ int decode_jpeg(const uint8_t* buf, size_t len, PngImage* out,
       while (off < dl) {
         int prec = d[off] >> 4, id = d[off] & 15;
         if (id > 3) return 22;
+        if (off + 1 + (prec ? 128u : 64u) > dl) return 22;
         ++off;
         for (int k = 0; k < 64; ++k) {
           if (prec) {
@@ -529,11 +530,13 @@ int decode_jpeg(const uint8_t* buf, size_t len, PngImage* out,
         off += 17 + total;
       }
     } else if (m == 0xC0 || m == 0xC1) {            // SOF0/1 baseline
+      if (dl < 6) return 24;
       if (d[0] != 8) return 24;
       height = (d[1] << 8) | d[2];
       width = (d[3] << 8) | d[4];
       ncomp = d[5];
       if (ncomp != 1 && ncomp != 3) return 24;
+      if (dl < 6 + 3u * ncomp) return 24;
       if (expected_w && uint32_t(width) != expected_w) return 10;
       if (expected_h && uint32_t(height) != expected_h) return 10;
       if (uint64_t(width) * height > (1ull << 26)) return 10;
@@ -548,10 +551,13 @@ int decode_jpeg(const uint8_t* buf, size_t len, PngImage* out,
     } else if (m == 0xC2) {
       return 26;                                    // progressive: PIL path
     } else if (m == 0xDD) {                         // DRI
+      if (dl < 2) return 21;
       restart_interval = (d[0] << 8) | d[1];
     } else if (m == 0xDA) {                         // SOS
+      if (dl < 1) return 27;
       int ns = d[0];
       if (ns != ncomp) return 27;
+      if (dl < 1 + 2u * ns) return 27;
       for (int s = 0; s < ns; ++s) {
         int cid = d[1 + 2 * s];
         for (int c = 0; c < ncomp; ++c)

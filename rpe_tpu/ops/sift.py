@@ -316,7 +316,7 @@ def _orientation(gradx, grady, li, xy, scl, valid):
 
     # secondary: best local peak (strictly above both circular neighbors)
     # other than the dominant bin, qualifying at >= 0.8 * max
-    is_local = (hist > jnp.roll(hist, 1, -1)) & (hist >= jnp.roll(hist, -1, -1))
+    is_local = (hist > jnp.roll(hist, 1, -1)) & (hist > jnp.roll(hist, -1, -1))
     not_primary = (jax.lax.broadcasted_iota(jnp.int32, hist.shape, 1)
                    != peak1[:, None])
     cand = jnp.where(is_local & not_primary, hist, -jnp.inf)

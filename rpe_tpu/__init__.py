@@ -41,6 +41,9 @@ from .pipeline.estimator import (PoseEstimator, estimate_pair,
 from .pipeline.evaluator import PoseEvaluator
 from .pipeline.ground_truth import GroundTruthLoader
 from .pipeline.orchestrator import PoseEstimationPipeline
+from .pipeline.trajectory import (accumulate_trajectory, ate, gt_scales,
+                                  load_kitti_poses, rpe, save_kitti_poses,
+                                  umeyama)
 from .viz.visualizer import Visualizer
 
 __version__ = "0.1.0"
@@ -74,4 +77,11 @@ __all__ = [
     "translation_direction_error",
     "load_image",
     "load_image_pair",
+    "accumulate_trajectory",
+    "ate",
+    "rpe",
+    "umeyama",
+    "gt_scales",
+    "load_kitti_poses",
+    "save_kitti_poses",
 ]

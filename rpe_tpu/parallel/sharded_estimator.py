@@ -81,6 +81,39 @@ def _estimate_pair_hyp_sharded(img1, img2, K, key, cfg: EstimatorConfig,
     }
 
 
+def estimate_sequence_sharded(frame_blocks, K, key_blocks,
+                              cfg: EstimatorConfig, mesh):
+    """Sequence-batched estimation sharded over a 1-D 'pairs' mesh axis.
+
+    frame_blocks: (n_dev, local+1, H, W) — device d holds the local+1
+      consecutive frames covering its `local` contiguous pairs (one
+      overlapping boundary frame per device). Each device detects each of
+      its local frames ONCE and shares detections between adjacent pairs
+      (pipeline/estimator.estimate_sequence_batched) — ~(B + n_dev) total
+      detections per chunk instead of the 2B the replicated-frames mesh
+      path cost (detection is ~2/3 of the pair budget, docs/PERF_LOG.md).
+    key_blocks: (n_dev, local, 2) uint32 PRNG keys, one per pair.
+
+    Returns the estimate_sequence_batched output dict with a leading
+    (n_dev, local, ...) shape; reshape to (n_dev*local, ...) for the flat
+    pair axis. Blocks are self-contained: no collectives cross devices.
+    """
+    from ..pipeline.estimator import estimate_sequence_batched
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("pairs"), P(), P("pairs")),
+        out_specs=P("pairs"),
+        check_vma=False,
+    )
+    def step(fblk, Kf, kblk):
+        out = estimate_sequence_batched(fblk[0], Kf, kblk[0], cfg=cfg)
+        return jax.tree.map(lambda x: x[None], out)
+
+    return step(frame_blocks, K, key_blocks)
+
+
 def estimate_pairs_2d(imgs1, imgs2, K, keys, cfg: EstimatorConfig, mesh):
     """Batched pair estimation over a 2-D ('pairs', 'hyp') mesh.
 

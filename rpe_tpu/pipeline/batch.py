@@ -26,7 +26,25 @@ import numpy as np
 
 from ..geometry.rotations import euler_to_rotation, rotation_to_euler
 from ..io.image_loader import load_image_batch
-from .estimator import estimate_pairs_batched, estimate_sequence_batched
+from .estimator import estimate_sequence_batched
+
+
+def _sequence_blocks(sel1, local, n_dev):
+    """Per-device consecutive frame blocks for a padded pair chunk.
+
+    sel1: chunk pair-start frame indices (padding repeats the last real
+      index). Device d covers pairs [d*local, (d+1)*local): its block is
+      those pairs' start frames plus the final pair's end frame — local+1
+      consecutive frames per device, so a chunk stages chunk + n_dev frame
+      slots instead of the 2*chunk the replicated-pairs layout cost.
+    Returns (n_dev, local+1) int array of frame indices.
+    """
+    blocks = np.empty((n_dev, local + 1), dtype=np.int64)
+    for d in range(n_dev):
+        for j in range(local):
+            blocks[d, j] = sel1[d * local + j]
+        blocks[d, local] = sel1[d * local + local - 1] + 1
+    return blocks
 
 
 class BatchProcessor:
@@ -119,12 +137,17 @@ class BatchProcessor:
                 fsel = list(range(start, end + 1)) + [end] * pad
                 arrs = (jnp.asarray(imgs[fsel]), K, keys)
             else:
-                # Mesh path shards the pair axis; frames are duplicated per
-                # pair so each device's block is self-contained.
-                sel2 = [i + 1 for i in sel1]
-                arrs = (jax.device_put(jnp.asarray(imgs[sel1]), shard),
-                        jax.device_put(jnp.asarray(imgs[sel2]), shard),
-                        K, jax.device_put(keys, shard))
+                # Mesh path: shard contiguous per-device frame blocks so
+                # each device detects its local frames ONCE and shares
+                # detections between adjacent pairs — the single-chip
+                # sequence-batching win (~1.6x) carried onto the mesh.
+                n_dev = self.mesh.devices.size
+                local = chunk // n_dev
+                blocks = _sequence_blocks(sel1, local, n_dev)
+                fblk = jnp.asarray(imgs[blocks])      # (n_dev, local+1, H, W)
+                kblk = jnp.asarray(keys).reshape(n_dev, local, -1)
+                arrs = (jax.device_put(fblk, shard), K,
+                        jax.device_put(kblk, shard))
             return start, end, arrs
 
         starts = [s for s in range(0, n_pairs, chunk)
@@ -136,7 +159,14 @@ class BatchProcessor:
             if shard is None:
                 out = estimate_sequence_batched(*arrs, cfg=cfg)
             else:
-                out = estimate_pairs_batched(*arrs, cfg=cfg)
+                from ..parallel.sharded_estimator import (
+                    estimate_sequence_sharded,
+                )
+
+                out = estimate_sequence_sharded(*arrs, cfg=cfg,
+                                                mesh=self.mesh)
+                out = jax.tree.map(
+                    lambda x: x.reshape(chunk, *x.shape[2:]), out)
             # stage the next chunk while the device runs this one
             pending = _stage(starts[si + 1]) if si + 1 < len(starts) else None
             idx = list(range(start, end))
@@ -229,6 +259,19 @@ class BatchProcessor:
                     "valid": bool(valid_out[i]),
                     "num_matches": int(nm_out[i]),
                 }) + "\n")
+
+    def estimate_relative_poses(self, frames, imgs):
+        """Raw consecutive-pair relative poses, no GT anchoring.
+
+        The trajectory surface (cli/run_kitti_sequence.py, BASELINE config
+        #4) chains these with pipeline/trajectory.accumulate_trajectory;
+        process_sequence instead re-anchors each pair to GT per the
+        reference contract (batch_processor.py:82-89).
+
+        Returns (R_rel (N-1,3,3), t_rel (N-1,3) unit directions,
+        valid (N-1,) bool, num_matches (N-1,) int) with x2 = R x1 + t.
+        """
+        return self._estimate_all_pairs(list(frames), imgs)
 
     def process_sequence(self, frame_indices):
         """Reference process_sequence semantics (batch_processor.py:38-116).

@@ -86,3 +86,71 @@ def test_2d_mesh_constructs():
     mesh = pairs_hyp_mesh()
     assert mesh.devices.size == 8
     assert mesh.axis_names == ("pairs", "hyp")
+
+
+def test_sequence_blocks_cover_chunk_with_one_overlap_frame():
+    """Per-device blocks are consecutive, cover every pair, and stage only
+    chunk + n_dev frame slots (not 2*chunk) — the sequence-sharing layout
+    (pipeline/batch._sequence_blocks)."""
+    from rpe_tpu.pipeline.batch import _sequence_blocks
+
+    n_dev, local = 4, 3
+    chunk = n_dev * local
+    sel1 = list(range(10, 10 + chunk))  # no padding
+    blocks = _sequence_blocks(sel1, local, n_dev)
+    assert blocks.shape == (n_dev, local + 1)
+    # consecutive within each device
+    assert (np.diff(blocks, axis=1) == 1).all()
+    # every pair (f, f+1) appears on exactly one device
+    covered = {(int(blocks[d, j]), int(blocks[d, j + 1]))
+               for d in range(n_dev) for j in range(local)}
+    assert covered == {(f, f + 1) for f in sel1}
+    # frame-slot accounting: chunk + n_dev slots vs 2*chunk duplicated
+    assert blocks.size == chunk + n_dev < 2 * chunk
+
+    # padded tail: real pairs still covered, pad pairs are same-frame
+    sel1p = [10, 11, 12] + [12] * 9
+    blocksp = _sequence_blocks(sel1p, local, n_dev)
+    coveredp = {(int(blocksp[d, j]), int(blocksp[d, j + 1]))
+                for d in range(n_dev) for j in range(local)}
+    assert {(10, 11), (11, 12), (12, 13)} <= coveredp
+
+
+def test_sequence_sharded_matches_unsharded(rng):
+    """estimate_sequence_sharded over the 8-device 'pairs' mesh returns the
+    same poses as single-device estimate_sequence_batched — block-local
+    detection sharing must not change results."""
+    from rpe_tpu.parallel.sharded_estimator import estimate_sequence_sharded
+    from rpe_tpu.pipeline.estimator import estimate_sequence_batched
+
+    n_dev, local = 8, 1
+    n_frames = n_dev * local + 1
+    h, w = 96, 128
+    base = _textured_image(rng, h, w)
+    frames = []
+    for i in range(n_frames):
+        f = np.roll(base, 2 * i, axis=1)
+        f[: h // 2] = np.roll(base[: h // 2], 5 * i, axis=1)
+        frames.append(f)
+    imgs = np.stack(frames)
+    K = jnp.asarray(np.diag([120.0, 120.0, 1.0]).astype(np.float32))
+    K = K.at[0, 2].set(64.0).at[1, 2].set(48.0)
+    B = n_frames - 1
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(B, dtype=jnp.uint32))
+
+    ref = estimate_sequence_batched(jnp.asarray(imgs), K, keys, cfg=TINY_CFG)
+
+    mesh = pairs_mesh()
+    blocks = np.stack([np.arange(d * local, d * local + local + 1)
+                       for d in range(n_dev)])
+    fblk = jnp.asarray(imgs[blocks])
+    kblk = jnp.asarray(keys).reshape(n_dev, local, -1)
+    out = estimate_sequence_sharded(fblk, K, kblk, TINY_CFG, mesh)
+    out = jax.tree.map(lambda x: x.reshape(B, *x.shape[2:]), out)
+
+    np.testing.assert_array_equal(np.asarray(out["valid"]),
+                                  np.asarray(ref["valid"]))
+    np.testing.assert_allclose(np.asarray(out["R"]), np.asarray(ref["R"]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["t"]), np.asarray(ref["t"]),
+                               atol=1e-4)

@@ -41,7 +41,38 @@ def test_sift_keypoints_agree_with_opencv(pair):
 
     d, _ = cKDTree(xy).query(cvxy, k=1)
     frac2 = (d < 2.0).mean()
-    assert frac2 > 0.75, f"only {frac2:.2f} of OpenCV SIFT kps reproduced"
+    # Achieved level is 1.0 (every cv2 keypoint reproduced within 2 px,
+    # measured on this frame); gate at 0.95 so a regression from the
+    # claimed 100% parity (PARITY.md) cannot pass silently.
+    assert frac2 > 0.95, f"only {frac2:.2f} of OpenCV SIFT kps reproduced"
+
+
+def test_sift_descriptor_similarity_vs_opencv(pair):
+    """Descriptor-similarity oracle: mean cosine between our descriptor and
+    cv2's at the same keypoint (nearest within 1 px). The histograms are
+    built with deliberately vectorized (not per-keypoint-loop) binning, so
+    bit parity is not expected — measured mean cosine 0.667 on this frame;
+    gate guards against structural regressions (wrong orientation frame,
+    broken trilinear binning land near 0)."""
+    img1, _, _ = pair
+    out = sift_detect_and_describe(jnp.asarray(img1, jnp.float32),
+                                   SiftConfig(max_kpts=2048))
+    v = np.asarray(out["valid"])
+    xy = np.asarray(out["xy"])[v]
+    desc = np.asarray(out["desc"])[v]
+
+    kps, cvdesc = cv2.SIFT_create().detectAndCompute(img1, None)
+    cvxy = np.array([k.pt for k in kps])
+    from scipy.spatial import cKDTree
+
+    d, idx = cKDTree(xy).query(cvxy, k=1)
+    m = d < 1.0
+    assert m.sum() > 100
+    ours = desc[idx[m]]
+    theirs = cvdesc[m].astype(np.float64)
+    theirs /= np.linalg.norm(theirs, axis=1, keepdims=True) + 1e-12
+    cos = np.sum(ours * theirs, axis=1)
+    assert cos.mean() > 0.6, f"mean descriptor cosine {cos.mean():.3f}"
 
 
 def test_sift_descriptor_normalization(pair):
@@ -73,5 +104,6 @@ def test_sift_pose_parity_vs_opencv(pair):
     dbg = est.estimate_with_debug(img1, img2)
     assert dbg["num_matches"] >= 50
     delta = float(rotation_error(jnp.asarray(dbg["R"]), jnp.asarray(R_cv)))
-    # ~110 matches -> RANSAC noise floor is higher than the ORB case
-    assert delta < 1.5, f"SIFT pose delta vs OpenCV: {delta:.3f} deg"
+    # measured 0.57 deg on this pair (PARITY.md); 0.8 = measured + RANSAC
+    # sampling margin. ~110 matches -> noise floor above the ORB case.
+    assert delta < 0.8, f"SIFT pose delta vs OpenCV: {delta:.3f} deg"

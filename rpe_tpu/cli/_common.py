@@ -40,8 +40,10 @@ def sequence_parser(description: str, default_step: int,
     p.add_argument("--results-dir", default=None,
                    help="Results directory (default: local "
                         "evaluation-runs/<dataset>/results)")
-    p.add_argument("--chunk", type=int, default=8,
-                   help="Pairs per compiled dispatch (static batch size)")
+    p.add_argument("--chunk", type=int, default=32,
+                   help="Pairs per compiled dispatch (static batch size; "
+                        "32 amortizes the ~0.9 ms/pair dispatch cost "
+                        "measured at chunk 8, docs/PERF_LOG.md)")
     p.add_argument("--devices", type=int, default=0,
                    help="Shard pairs over this many devices (0 = no mesh)")
     return p

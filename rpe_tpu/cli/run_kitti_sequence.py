@@ -78,7 +78,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     ensure_platform()
 
-    from ..io.image_loader import load_image_batch
+    from ..io.image_loader import LazyFrameSource
     from ..pipeline.batch import BatchProcessor
     from ..pipeline.estimator import PoseEstimator
     from ..pipeline.trajectory import (
@@ -109,9 +109,12 @@ def main(argv=None):
     gt = gt_all[idx]
     print(f"[INFO] {len(paths)} frames (step {args.step}) from {images_dir}")
 
-    imgs = load_image_batch([str(p) for p in paths],
-                            to_gray=True).astype(np.float32)
-    h, w = imgs.shape[1:3]
+    # Lazy decode: KITTI sequences are thousands of frames (seq 00 eager
+    # would be ~8.5 GB of f32 host RAM); chunks decode just-in-time and
+    # overlap device compute (pipeline/batch.py double buffer).
+    imgs = LazyFrameSource([str(p) for p in paths], to_gray=True,
+                           cache_frames=max(2 * (args.chunk + 10), 64))
+    h, w = imgs.get([0]).shape[1:3]
 
     if args.calib:
         K = load_kitti_calib(args.calib, args.calib_cam)

@@ -50,3 +50,60 @@ def load_image_batch(paths, to_gray: bool = True) -> np.ndarray:
         return decode_batch(paths, to_gray=to_gray)
     except Exception:
         return np.stack([load_image(p, to_gray) for p in paths])
+
+
+class LazyFrameSource:
+    """Per-chunk lazy decode with a small LRU frame cache.
+
+    Eagerly decoding a full sequence costs both wall-clock before the first
+    dispatch and O(dataset) host RAM (KITTI seq 00: ~8.5 GB at f32). This
+    source decodes only the indices a chunk asks for; the chunked
+    double-buffer in pipeline/batch.py stages chunk c+1 (decode + async
+    H2D) between dispatching chunk c and blocking on its outputs, so decode
+    rides behind device compute. The cache keeps the last ~2 chunks of
+    frames so the one-frame overlap between consecutive sequence chunks
+    (and VP's second pass over the same frames) never re-decodes.
+
+    Indexable like the eager array for the read patterns batch.py uses:
+    `src[list_or_2d_index_array]` -> float32 (.., H, W).
+    """
+
+    def __init__(self, paths, to_gray: bool = True, cache_frames: int = 256):
+        self.paths = [str(p) for p in paths]
+        self.to_gray = to_gray
+        self.cache_frames = cache_frames
+        self._cache: dict[int, np.ndarray] = {}  # insertion-ordered LRU
+
+    def __len__(self):
+        return len(self.paths)
+
+    def get(self, indices) -> np.ndarray:
+        idx = np.asarray(indices)
+        flat = [int(i) for i in idx.reshape(-1)]
+        need = set(flat)
+        if len(need) > self.cache_frames:  # oversize request: bypass cache
+            order = sorted(need)
+            imgs = load_image_batch([self.paths[i] for i in order],
+                                    to_gray=self.to_gray)
+            table = {i: np.asarray(im, dtype=np.float32)
+                     for i, im in zip(order, imgs)}
+            out = np.stack([table[i] for i in flat])
+            return out.reshape(*idx.shape, *out.shape[1:])
+        missing = sorted(i for i in need if i not in self._cache)
+        if missing:
+            imgs = load_image_batch([self.paths[i] for i in missing],
+                                    to_gray=self.to_gray)
+            for i, im in zip(missing, imgs):
+                self._cache[i] = np.asarray(im, dtype=np.float32)
+        for i in need:  # refresh LRU position of every hit
+            self._cache[i] = self._cache.pop(i)
+        while len(self._cache) > self.cache_frames:
+            evict = next(i for i in self._cache if i not in need)
+            self._cache.pop(evict)
+        out = np.stack([self._cache[i] for i in flat])
+        return out.reshape(*idx.shape, *out.shape[1:])
+
+    def __getitem__(self, indices):
+        if isinstance(indices, slice):
+            indices = list(range(*indices.indices(len(self))))
+        return self.get(indices)

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geometry.rotations import euler_to_rotation, rotation_to_euler
-from ..io.image_loader import load_image_batch
+from ..io.image_loader import LazyFrameSource
 from .estimator import estimate_sequence_batched
 
 
@@ -284,7 +284,14 @@ class BatchProcessor:
             raise ValueError("Need at least 2 frames to process")
 
         paths = [str(self.get_image_path(f)) for f in frames]
-        imgs = load_image_batch(paths, to_gray=True).astype(np.float32)
+        # Lazy per-chunk decode (decode/compute overlap, SURVEY §5 perf):
+        # the double-buffered _stage below decodes chunk c+1 between
+        # dispatching chunk c and blocking on its outputs, so decode rides
+        # behind device compute instead of serializing up front — and host
+        # RAM stays O(chunk), not O(sequence).
+        imgs = LazyFrameSource(
+            paths, to_gray=True,
+            cache_frames=max(2 * (self.chunk + 10), 64))
 
         R_rel, t_rel, valid, num_matches = self._estimate_all_pairs(frames, imgs)
         if self.strict and not valid.all():

@@ -73,3 +73,48 @@ def test_batch_uses_native_for_png():
     batch = load_image_batch(SIM_IMAGES, to_gray=True)
     ref = np.stack([load_image(p) for p in SIM_IMAGES])
     np.testing.assert_array_equal(batch, ref)
+
+
+def test_lazy_frame_source_matches_eager_and_caches(monkeypatch):
+    """LazyFrameSource: same pixels as eager load, per-frame decode happens
+    exactly once while the working set fits the cache, and the chunk
+    overlap frame is served from cache (the decode/compute-overlap path in
+    pipeline/batch.py)."""
+    from rpe_tpu.io import image_loader as il
+
+    eager = il.load_image_batch(SIM_IMAGES, to_gray=True).astype(np.float32)
+
+    decoded = []
+    real = il.load_image_batch
+
+    def counting(paths, to_gray=True):
+        decoded.extend(paths)
+        return real(paths, to_gray=to_gray)
+
+    monkeypatch.setattr(il, "load_image_batch", counting)
+    src = il.LazyFrameSource(SIM_IMAGES, to_gray=True, cache_frames=6)
+    assert len(src) == len(SIM_IMAGES)
+
+    # chunked access with 1-frame overlap, like the sequence batcher
+    a = src[[0, 1, 2, 3]]
+    np.testing.assert_array_equal(a, eager[:4])
+    b = src[[3, 4, 5, 6]]          # frame 3 must come from cache
+    np.testing.assert_array_equal(b, eager[3:7])
+    assert decoded.count(SIM_IMAGES[3]) == 1
+    assert len(decoded) == 7
+
+    # 2-D index arrays (mesh frame blocks) keep their shape
+    blk = src[np.array([[4, 5], [5, 6]])]
+    assert blk.shape == (2, 2) + eager.shape[1:]
+    np.testing.assert_array_equal(blk[1, 0], eager[5])
+    assert len(decoded) == 7  # all cached
+
+    # slices (VP stats pass) work; eviction (cache 6 < 8 frames) re-decodes
+    c = src[0:8]
+    np.testing.assert_array_equal(c, eager)
+    assert decoded.count(SIM_IMAGES[0]) == 2  # 0 was evicted, re-decoded
+
+    # oversize single request bypasses the cache but stays correct
+    tiny = il.LazyFrameSource(SIM_IMAGES, to_gray=True, cache_frames=2)
+    d = tiny[[5, 0, 5, 2]]
+    np.testing.assert_array_equal(d, eager[[5, 0, 5, 2]])

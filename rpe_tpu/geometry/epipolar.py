@@ -133,11 +133,23 @@ def sampson_error_sq(E, pts1, pts2):
     (threshold given in pixels is divided by the mean focal length before
     comparison — see `ransac.py`).
     """
-    x1 = jnp.concatenate([pts1, jnp.ones_like(pts1[..., :1])], axis=-1)
-    x2 = jnp.concatenate([pts2, jnp.ones_like(pts2[..., :1])], axis=-1)
-    Ex1 = jnp.einsum("...ij,...nj->...ni", E, x1)   # (..., N, 3)
-    Etx2 = jnp.einsum("...ji,...nj->...ni", E, x2)  # (..., N, 3)
-    x2tEx1 = jnp.sum(x2 * Ex1, axis=-1)             # (..., N)
-    denom = (Ex1[..., 0] ** 2 + Ex1[..., 1] ** 2
-             + Etx2[..., 0] ** 2 + Etx2[..., 1] ** 2)
+    # Layout note: an einsum producing (..., N, 3) puts the 3-vector in the
+    # lane dimension, which pads 3 -> 128 on TPU (~42x wasted HBM traffic at
+    # RANSAC scale, measured 0.61 ms/pair of the round-2 stage budget).
+    # Expanding E into nine scalar coefficients keeps every intermediate at
+    # (..., N) with N in lanes; XLA fuses the whole body into one pass.
+    u1, v1 = pts1[..., 0], pts1[..., 1]             # (..., N)
+    u2, v2 = pts2[..., 0], pts2[..., 1]
+
+    def e(i, j):
+        return E[..., i, j][..., None]              # (..., 1) vs (..., N)
+
+    # Ex1_i = E[i,0] u1 + E[i,1] v1 + E[i,2]; Etx2_j = E[0,j] u2 + ...
+    Ex1_0 = e(0, 0) * u1 + e(0, 1) * v1 + e(0, 2)
+    Ex1_1 = e(1, 0) * u1 + e(1, 1) * v1 + e(1, 2)
+    Ex1_2 = e(2, 0) * u1 + e(2, 1) * v1 + e(2, 2)
+    Etx2_0 = e(0, 0) * u2 + e(1, 0) * v2 + e(2, 0)
+    Etx2_1 = e(0, 1) * u2 + e(1, 1) * v2 + e(2, 1)
+    x2tEx1 = u2 * Ex1_0 + v2 * Ex1_1 + Ex1_2        # (..., N)
+    denom = Ex1_0 ** 2 + Ex1_1 ** 2 + Etx2_0 ** 2 + Etx2_1 ** 2
     return (x2tEx1 ** 2) / (denom + _EPS)

@@ -224,6 +224,56 @@ def optimize_rotation_from_vps(R_init, Delta_cam, D_world, cfg: VpConfig,
     return R
 
 
+def optimize_rotation_from_vps_jit(R_init, Delta_cam, D_world,
+                                   iters: int = 12,
+                                   lm_lambda: float = 1e-2,
+                                   jacobian_sign: float = +1.0):
+    """Device-resident LM on SO(3) — jit-compatible twin of
+    `optimize_rotation_from_vps` (SURVEY.md §7 step 8 asked for a
+    jit-compatible override; the numpy twin remains the default because
+    the VP gate fires rarely and host 3x3 algebra is cheaper than a
+    dispatch, but a VP-heavy batched pipeline can vmap/jit this one).
+
+    Same semantics: fixed `iters` Levenberg-Marquardt steps with the
+    analytic Jacobian sign fix (see the numpy twin's docstring for the
+    reference deviation, pose_estimator.py:456-459); the early-stop at
+    ||dw|| < 1e-7 becomes a masked freeze so shapes stay static.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .rotations import so3_exp
+
+    R0 = jnp.asarray(R_init, jnp.float32)
+    Dc = jnp.asarray(Delta_cam, jnp.float32)
+    Dw = jnp.asarray(D_world, jnp.float32)
+
+    def step(carry, _):
+        R, frozen = carry
+        u = R @ Dw                                        # (3, 3) columns
+        s = jnp.clip(jnp.sum(Dc * u, axis=0), -1.0, 1.0)
+        cross = jnp.cross(Dc.T, u.T)                      # (3, 3) rows
+        # arccos(s) and sqrt(1-s^2) cancel catastrophically in f32 near
+        # convergence (the 1e-7 stop then never fires and the iterate
+        # random-walks ~0.1 deg); arctan2(||delta x u||, s) is the same
+        # angle, well-conditioned at 0, and ||cross|| IS sin(angle).
+        sin_ang = jnp.linalg.norm(cross, axis=1)
+        r = jnp.arctan2(sin_ang, s)[:, None]              # (3, 1)
+        denom = jnp.maximum(sin_ang, 1e-12)
+        J = jacobian_sign * (cross / denom[:, None])
+        H = J.T @ J + lm_lambda * jnp.eye(3, dtype=R.dtype)
+        g = J.T @ r
+        dw = -jax.scipy.linalg.solve(H, g, assume_a="pos")[:, 0]
+        dw = jnp.where(jnp.isfinite(dw), dw, 0.0)
+        converged = jnp.linalg.norm(dw) < 1e-7
+        R_next = jnp.where(frozen, R, so3_exp(dw) @ R)
+        return (R_next, frozen | converged), None
+
+    (R, _), _ = jax.lax.scan(step, (R0, jnp.asarray(False)), None,
+                             length=iters)
+    return R
+
+
 def refine_rotation_with_vps(img1, img2, R_prev, R_rel, K, cfg: VpConfig):
     """Full gated refinement (reference pose_estimator.py:536-567).
 

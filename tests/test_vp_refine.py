@@ -159,3 +159,38 @@ def test_refine_applies_when_gates_pass(phone):
     # (NOTE: with permissive gates on a weak scene the VP axes carry a sign/
     # permutation ambiguity, so "lower cost" does not imply "closer to the
     # true rotation" — exactly why the reference defaults its gates so high.)
+
+
+def test_jit_lm_matches_host_lm():
+    """optimize_rotation_from_vps_jit (device, lax.scan) == numpy twin
+    to f32 tolerance on synthetic consistent problems (SURVEY.md §7 step 8:
+    the jit-compatible LM override)."""
+    import jax
+
+    from rpe_tpu.geometry.vp_refine import optimize_rotation_from_vps_jit
+
+    lrng = np.random.default_rng(7)
+    cfg = VpConfig()
+    jit_lm = jax.jit(optimize_rotation_from_vps_jit, static_argnums=(3, 4, 5))
+    for trial in range(10):
+        D_world = np.linalg.qr(lrng.normal(size=(3, 3)))[0]
+        w = lrng.normal(size=3)
+        w = w / np.linalg.norm(w) * np.deg2rad(5.0)
+        R_true = _so3_exp_np(w)
+        Delta_cam = R_true @ D_world
+        # start a few degrees off the optimum
+        w0 = lrng.normal(size=3)
+        w0 = w0 / np.linalg.norm(w0) * np.deg2rad(3.0)
+        R_init = _so3_exp_np(w0) @ R_true
+        R_np = optimize_rotation_from_vps(R_init, Delta_cam, D_world, cfg)
+        R_dev = np.asarray(jit_lm(R_init, Delta_cam, D_world,
+                                  cfg.iters, cfg.lm_lambda, +1.0))
+        # Both converge to the optimum; compare geodesically. Gate 0.05 deg:
+        # the jit twin runs f32 and arccos near s=1 has a ~sqrt(eps_f32)
+        # conditioning floor (~0.02-0.03 deg) — under the subsystem's own
+        # acceptance eps of 1e-3 rad (0.057 deg) of summed cost.
+        cosang = np.clip((np.trace(R_np.T @ R_dev) - 1.0) / 2.0, -1.0, 1.0)
+        assert np.degrees(np.arccos(cosang)) < 0.05, f"trial {trial}"
+        # and the jit result actually solved the problem
+        cos2 = np.clip((np.trace(R_true.T @ R_dev) - 1.0) / 2.0, -1.0, 1.0)
+        assert np.degrees(np.arccos(cos2)) < 0.05, f"trial {trial} vs truth"

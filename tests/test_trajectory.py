@@ -119,7 +119,9 @@ def test_rpe_exact_and_known_rotation_offset():
     est = accumulate_trajectory(Rs2, ts, scales=scales)
     res = rpe(est, gt, delta=1)
     assert res["rot_deg"]["max"] == pytest.approx(5.0, abs=1e-8)
-    assert np.sum(res["rot_errors_deg"] > 1e-6) == 1
+    # the same ~1e-6 deg arccos floor applies per-step: count steps above the
+    # "exact" 1e-4 threshold, not above the fp noise floor itself
+    assert np.sum(res["rot_errors_deg"] > 1e-4) == 1
 
 
 def test_rpe_delta_gt_one():

@@ -38,15 +38,6 @@ def _tile_rows(wp: int) -> int:
     return max((budget // wp) // 8 * 8, 8)
 
 
-def _shift(x, dy, dx, y0, rows):
-    """Static vertical slice + lane roll: x[(y0+dy) : (y0+dy+rows), :]
-    shifted left by dx (columns wrap; borders are masked downstream)."""
-    v = x[y0 + dy: y0 + dy + rows, :]
-    if dx:
-        v = pltpu.roll(v, (-dx) % v.shape[1], axis=1)
-    return v
-
-
 _GAUSS7 = None
 
 
@@ -70,6 +61,18 @@ def _fast_harris_kernel(threshold, k_harris, tile, prev_ref, cur_ref,
     in_rows = tile + 2 * HALO
     x = x[tile - HALO: tile - HALO + in_rows, :]
 
+    # Lane rolls are the dominant VPU cost in this kernel (each is a
+    # cross-lane relayout of a full tile): pre-roll the window once per
+    # distinct dx in the Bresenham circle (6 rolls) and serve all 14
+    # dx != 0 circle neighbors and both horizontal gradients as free row
+    # slices of these planes.
+    x_dx = {0: x}
+    for dx in (-3, -2, -1, 1, 2, 3):
+        x_dx[dx] = pltpu.roll(x, (-dx) % x.shape[1], axis=1)
+
+    def shifted(dy, dx, y0, rows):
+        return x_dx[dx][y0 + dy: y0 + dy + rows, :]
+
     # --- FAST score on TILE_ROWS + 2 rows (nonmax halo), centered at HALO-1
     s_rows = tile + 2
     y0 = HALO - 1
@@ -78,7 +81,7 @@ def _fast_harris_kernel(threshold, k_harris, tile, prev_ref, cur_ref,
     dark = []
     diffs = []
     for dx, dy in _CIRCLE:
-        nb = _shift(x, dy, dx, y0, s_rows)
+        nb = shifted(dy, dx, y0, s_rows)
         d = nb - center
         diffs.append(d)
         bright.append(d > threshold)
@@ -109,37 +112,43 @@ def _fast_harris_kernel(threshold, k_harris, tile, prev_ref, cur_ref,
     # gradient products on TILE_ROWS + 6 rows (box halo 3)
     g_rows = tile + 6
     gy0 = HALO - 3
-    gx = (_shift(x, 0, -1, gy0, g_rows) - _shift(x, 0, 1, gy0, g_rows))
-    gy = (_shift(x, -1, 0, gy0, g_rows) - _shift(x, 1, 0, gy0, g_rows))
+    gx = (shifted(0, -1, gy0, g_rows) - shifted(0, 1, gy0, g_rows))
+    gy = (shifted(-1, 0, gy0, g_rows) - shifted(1, 0, gy0, g_rows))
     axx = gx * gx
     ayy = gy * gy
     axy = gx * gy
 
     def box7(v):
-        # 7x7 box sum: 7 row-slices + 7 lane-rolls (separable adds)
+        # 7x7 box sum: 7 row-slices, then the 7 horizontal taps by
+        # log-doubling (5 rolls + 3 adds instead of 6 rolls + 6 adds;
+        # reorders f32 adds — harris is a ranking score with a 1e-3
+        # relative parity gate, not a bit-exact one)
         rowsum = jnp.zeros((tile, v.shape[1]), v.dtype)
         for dy in range(-3, 4):
             rowsum = rowsum + v[3 + dy: 3 + dy + tile, :]
-        out = jnp.zeros_like(rowsum)
-        for dx in range(-3, 4):
-            out = out + (pltpu.roll(rowsum, (-dx) % rowsum.shape[1], axis=1)
-                         if dx else rowsum)
-        return out
+
+        def sh(a, s):
+            return pltpu.roll(a, (-s) % a.shape[1], axis=1)
+
+        a2 = rowsum + sh(rowsum, 1)          # taps {0, 1}
+        a4 = a2 + sh(a2, 2)                  # taps {0..3}
+        a7 = a4 + sh(a2, 4) + sh(rowsum, 6)  # taps {0..6}
+        return sh(a7, -3)                    # recenter to {-3..3}
 
     a = box7(axx)
     b_ = box7(ayy)
     c = box7(axy)
     harris = (a * b_ - c * c) - k_harris * (a + b_) ** 2
 
-    # --- 3x3 nonmax on the FAST score (score has 1-row halo)
-    neighborhood_max = None
-    for dy in range(3):
-        for dx in (-1, 0, 1):
-            v = fast_score[dy: dy + tile, :]
-            if dx:
-                v = pltpu.roll(v, (-dx) % v.shape[1], axis=1)
-            neighborhood_max = v if neighborhood_max is None else \
-                jnp.maximum(neighborhood_max, v)
+    # --- 3x3 nonmax on the FAST score (score has 1-row halo); max is
+    # separable: vertical max over the three row slices (free), then two
+    # lane rolls instead of six
+    vmax = jnp.maximum(jnp.maximum(fast_score[0: tile, :],
+                                   fast_score[1: 1 + tile, :]),
+                       fast_score[2: 2 + tile, :])
+    neighborhood_max = jnp.maximum(
+        jnp.maximum(vmax, pltpu.roll(vmax, 1, axis=1)),
+        pltpu.roll(vmax, vmax.shape[1] - 1, axis=1))
     score_c = fast_score[1: 1 + tile, :]
     keep = (score_c >= neighborhood_max) & (score_c > 0.0)
 

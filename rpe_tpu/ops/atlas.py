@@ -46,6 +46,77 @@ def build_atlas(levels, h: int, w: int, nlevels: int, scale_factor: float):
     return atlas, (offsets, total, wp)
 
 
+# ---------------------------------------------------------------------------
+# Fused pyramid+atlas build: bilinear resize as banded matmuls on the MXU
+# ---------------------------------------------------------------------------
+
+
+def _linear_resize_matrix(n_out: int, n_in: int):
+    """(n_out, n_in) numpy f32 weights reproducing jax.image.resize
+    method='linear' along one axis: half-pixel centers, triangle kernel
+    dilated by the zoom factor when minifying (anti-aliased), edge weights
+    renormalized. Verified exact vs jax.image.resize in f64 (~1e-11)."""
+    scale = n_out / n_in
+    x = (np.arange(n_out, dtype=np.float64) + 0.5) / scale - 0.5
+    kscale = min(scale, 1.0)
+    u = (np.arange(n_in, dtype=np.float64)[None, :] - x[:, None]) * kscale
+    wts = np.maximum(0.0, 1.0 - np.abs(u))
+    s = wts.sum(axis=1, keepdims=True)
+    return np.where(s > 0, wts / s, 0.0).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _atlas_resize_mats(h: int, w: int, nlevels: int, scale_factor: float):
+    """Static resize operators for build_atlas_fused (numpy, never jnp —
+    lru_cache + tracers don't mix). Returns (Rv, Cws): Rv (sum lh_{l>=1}, h)
+    stacks every level>=1's vertical weights; Cws[l-1] is (w, lw_l)."""
+    shapes = level_shapes(h, w, nlevels, scale_factor)
+    Rv = np.concatenate(
+        [_linear_resize_matrix(lh, h) for (lh, _) in shapes[1:]], axis=0)
+    Cws = tuple(_linear_resize_matrix(lw, w).T.copy()
+                for (_, lw) in shapes[1:])
+    return Rv, Cws
+
+
+def build_atlas_fused(img, nlevels: int, scale_factor: float):
+    """Pyramid + atlas in three MXU steps instead of 11 resizes + 12
+    full-atlas dynamic_update_slice copies (~0.69 ms/image of the round-2
+    stage budget, docs/PERF_LOG.md):
+
+      1. one stacked banded matmul vertically resamples ALL levels >= 1,
+      2. one small matmul per level horizontally resamples its row block,
+      3. one concatenate assembles [gap, level, gap, ...] in layout order
+         (gaps are fresh zero blocks; level 0 is the input, copied not
+         recomputed).
+
+    Bit-differences vs build_pyramid+build_atlas are bounded by matmul
+    reassociation (~1e-4 absolute on [0,255] data) — the parity contract
+    downstream is pose-level. Returns (atlas, layout) like build_atlas.
+    """
+    h, w = img.shape
+    offsets, total, wp = atlas_layout(h, w, nlevels, scale_factor)
+    Rv_np, Cws_np = _atlas_resize_mats(h, w, nlevels, scale_factor)
+    v = jnp.asarray(Rv_np) @ img                       # (sum lh_{l>=1}, w)
+
+    def padw(a):
+        return jnp.pad(a, ((0, 0), (0, wp - a.shape[1])))
+
+    segs = []
+    row = 0          # rows emitted so far
+    vrow = 0         # rows consumed from v
+    for l, (off, lh, lw) in enumerate(offsets):
+        segs.append(jnp.zeros((off - row, wp), img.dtype))
+        if l == 0:
+            segs.append(padw(img))
+        else:
+            blk = jax.lax.dynamic_slice_in_dim(v, vrow, lh, axis=0)
+            segs.append(padw(blk @ jnp.asarray(Cws_np[l - 1])))
+            vrow += lh
+        row = off + lh
+    segs.append(jnp.zeros((total - row, wp), img.dtype))
+    return jnp.concatenate(segs, axis=0), (offsets, total, wp)
+
+
 def gaussian_blur_rolled(img, ksize: int = 7, sigma: float = 2.0):
     """Separable Gaussian blur as shifted adds (VPU-friendly; the
     single-channel conv_general_dilated route measured ~3 ms per frame —

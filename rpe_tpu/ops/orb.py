@@ -171,16 +171,23 @@ def orb_detect_and_describe_atlas(
     extraction for the whole pyramid (see ops/atlas.py). Output contract is
     identical to `orb_detect_and_describe` except keypoint ordering (which
     nothing downstream depends on — matching is by descriptor)."""
-    from .atlas import banded_extract, build_atlas, gaussian_blur_rolled
+    import os
+
+    from .atlas import banded_extract, build_atlas, build_atlas_fused, \
+        gaussian_blur_rolled
     from .fast import _use_pallas, fast_score_map, harris_response_map, \
         nonmax_suppress_3x3
     from .pyramid import level_shapes
 
     h, w = img.shape
     quotas = level_quotas(nfeatures, nlevels, scale_factor)
-    levels = build_pyramid(img, nlevels, scale_factor)
-    atlas, (offsets, total, wp) = build_atlas(
-        levels, h, w, nlevels, scale_factor)
+    if os.environ.get("RPE_NO_FUSED_ATLAS"):
+        levels = build_pyramid(img, nlevels, scale_factor)
+        atlas, (offsets, total, wp) = build_atlas(
+            levels, h, w, nlevels, scale_factor)
+    else:
+        atlas, (offsets, total, wp) = build_atlas_fused(
+            img, nlevels, scale_factor)
 
     if _use_pallas():
         from .fast_pallas import fast_harris_rank_map

@@ -89,3 +89,46 @@ def test_banded_extract_cap_overflow():
     vs = np.asarray(ext["valid_sorted"])
     assert vs.sum() == CAP
     assert (~vs).sum() == 20
+
+
+def test_fused_atlas_matches_resize_chain():
+    """build_atlas_fused (banded-matmul resize) vs build_pyramid+build_atlas:
+    same layout, values within matmul-reassociation tolerance on [0,255]."""
+    import jax
+    from rpe_tpu.ops.atlas import build_atlas_fused
+    from rpe_tpu.ops.pyramid import build_pyramid
+
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.uniform(0, 255, size=(180, 320)).astype(np.float32))
+    levels = build_pyramid(img, 12, 1.1)
+    ref, (offs_r, tot_r, wp_r) = build_atlas(levels, 180, 320, 12, 1.1)
+    got, (offs_g, tot_g, wp_g) = build_atlas_fused(img, 12, 1.1)
+    assert (offs_r, tot_r, wp_r) == (offs_g, tot_g, wp_g)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0.05)
+
+
+def test_fused_atlas_detection_equivalence():
+    """End-to-end ORB on the fused atlas finds essentially the same
+    keypoints as the resize-chain atlas."""
+    import os
+    from rpe_tpu.ops.orb import orb_detect_and_describe
+
+    rng = np.random.default_rng(8)
+    base = rng.uniform(0, 255, size=(45, 80))
+    img = jnp.asarray(np.kron(base, np.ones((4, 4))).astype(np.float32))
+
+    os.environ["RPE_NO_FUSED_ATLAS"] = "1"
+    try:
+        ref = orb_detect_and_describe(img, nfeatures=500, max_kpts=512)
+    finally:
+        del os.environ["RPE_NO_FUSED_ATLAS"]
+    got = orb_detect_and_describe(img, nfeatures=500, max_kpts=512)
+    nr, ng = int(ref["valid"].sum()), int(got["valid"].sum())
+    assert ng > 0.9 * nr
+    # keypoint sets overlap (order-free): match on rounded base coords
+    rset = {tuple(p) for p in np.round(
+        np.asarray(ref["xy"])[np.asarray(ref["valid"])]).astype(int)}
+    gxy = np.round(np.asarray(got["xy"])[np.asarray(got["valid"])]).astype(int)
+    frac = np.mean([tuple(p) in rset for p in gxy])
+    assert frac > 0.9

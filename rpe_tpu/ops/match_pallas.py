@@ -1,4 +1,4 @@
-"""Fused cross-check Hamming matcher: matmul + mutual-argmin in one Pallas pass.
+"""Fused cross-check matcher: distance matmul + mutual-argmin in one Pallas pass.
 
 The XLA path (ops/match.py) materializes the full (N1, N2) distance matrix in
 HBM (67 MB at 4096 descriptors) and re-reads it for each argmin/mask pass —
@@ -10,17 +10,26 @@ carry that lives in the (constant-index) output block across the sequential
 grid. HBM traffic drops from ~4x67 MB to the descriptor inputs + four (N,)
 vectors.
 
-Equivalence with ops/match.py `cross_check_match` (tested bit-exact):
-  * popcount(a XOR b) = |a| + |b| - 2 a.b. The per-row argmin is invariant
-    to the row-constant |a|, so rows reduce over |b| - 2 a.b; columns reduce
-    over |a| - 2 a.b. All quantities are small exact integers in f32.
-  * validity masks fold into the norm vectors as +_BIG; at f32 precision
-    _BIG absorbs every subsequent +-O(512) term (ulp(_BIG) ~ 3e31), so
-    masked lanes reproduce the XLA path's exact _BIG sentinel.
-  * ties resolve to the lowest index, as jnp.argmin does: within a tile via
-    jnp.argmin itself, across tiles via a strict `<` carry update.
+Both supported norms decompose over the same Gram tile:
+  * Hamming ({0,1} bits): popcount(a XOR b) = |a| + |b| - 2 a.b
+  * squared L2 (SIFT floats): ||a-b||^2   = |a|^2 + |b|^2 - 2 a.b
+The per-row argmin is invariant to the row-constant |a| term, so rows reduce
+over |b| - 2 a.b and columns over |a| - 2 a.b; the |a| term is restored on
+the reduced (N,) vector afterwards.
 
-Replaces the distance-matrix half of `cv2.BFMatcher(NORM_HAMMING,
+Equivalence with ops/match.py `cross_check_match`:
+  * Hamming: bit-identical (tested). bf16 inputs are exact for bits, the
+    f32 Gram accumulation is exact for <= 256-term integer sums, validity
+    masks fold into the norm vectors as +_BIG (at f32 precision _BIG
+    absorbs every subsequent +-O(512) term — ulp(_BIG) ~ 3e31 — so masked
+    lanes reproduce the XLA path's exact _BIG sentinel), and ties resolve
+    to the lowest index as jnp.argmin does: within a tile via jnp.argmin,
+    across tiles via a strict `<` carry update.
+  * L2: equal match sets up to f32 matmul reassociation — exact-duplicate
+    descriptors (distance ~0 ties) may resolve to a different equally-near
+    neighbor than the XLA path's clamped matrix.
+
+Replaces the distance-matrix half of `cv2.BFMatcher(NORM_HAMMING/NORM_L2,
 crossCheck=True)` (reference: src/core/pose_estimator.py:115-152).
 """
 
@@ -35,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .match import _BIG, _pad_to
 
-_TILE = 128  # rows of bits1 per grid step (VMEM: ~2 MB dot tile at N2=4096)
+_TILE = 128  # rows of desc1 per grid step (VMEM: ~2 MB dot tile at N2=4096)
 
 
 def _match_kernel(a_ref, b_ref, nam_ref, nbm_ref,
@@ -47,8 +56,7 @@ def _match_kernel(a_ref, b_ref, nam_ref, nbm_ref,
         cmin_ref[:] = jnp.full_like(cmin_ref, jnp.inf)
         carg_ref[:] = jnp.zeros_like(carg_ref)
 
-    # (TILE, N2) <- one MXU pass; bf16 inputs are exact for {0,1} bits and
-    # the f32 accumulation is exact for sums of <= 256 terms.
+    # (TILE, N2) <- one MXU pass per tile
     dot2 = -2.0 * jax.lax.dot_general(
         a_ref[:], b_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -67,29 +75,17 @@ def _match_kernel(a_ref, b_ref, nam_ref, nbm_ref,
     carg_ref[:] = jnp.where(upd, carg_tile, carg_ref[:])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def mutual_nn_hamming(bits1, bits2, valid1, valid2, interpret: bool = False):
-    """Mutual-nearest-neighbor pieces for {0,1} bit descriptors.
-
-    bits1: (N1, B), bits2: (N2, B) {0,1}; valid masks (N1,), (N2,).
-    Returns (best_d, nn12, nn21): best_d (N1,) f32 true Hamming distance of
-    each row's nearest valid column (== _BIG when none), nn12 (N1,) int32,
-    nn21 (N2,) int32 — bit-identical to the argmins of the masked XLA
-    distance matrix.
-    """
-    n1, nbits = bits1.shape
-    n2 = bits2.shape[0]
+def _mutual_nn(a, b, na, nb, valid1, valid2, interpret: bool):
+    """Shared driver: a (N1, D), b (N2, D) MXU-ready operands; na/nb the
+    per-descriptor norm terms (f32). Returns (best_d, nn12, nn21)."""
+    n1, d = a.shape
+    n2 = b.shape[0]
     assert n1 % _TILE == 0, f"N1={n1} must be a multiple of {_TILE}"
-    a = bits1.astype(jnp.bfloat16)
-    b = bits2.astype(jnp.bfloat16)
-    na = jnp.sum(bits1.astype(jnp.float32), axis=-1)
-    nb = jnp.sum(bits2.astype(jnp.float32), axis=-1)
     nam = jnp.where(valid1, na, _BIG)
     nbm = jnp.where(valid2, nb, _BIG)
 
     grid = (n1 // _TILE,)
-    full_b = pl.BlockSpec((n2, nbits), lambda i: (0, 0),
-                          memory_space=pltpu.VMEM)
+    full_b = pl.BlockSpec((n2, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
     row_block = pl.BlockSpec((_TILE,), lambda i: (i,),
                              memory_space=pltpu.VMEM)
     col_block = pl.BlockSpec((n2,), lambda i: (0,), memory_space=pltpu.VMEM)
@@ -101,7 +97,7 @@ def mutual_nn_hamming(bits1, bits2, valid1, valid2, interpret: bool = False):
                    jax.ShapeDtypeStruct((n2,), jnp.int32)),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_TILE, nbits), lambda i: (i, 0),
+            pl.BlockSpec((_TILE, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             full_b,
             row_block,
@@ -122,14 +118,50 @@ def mutual_nn_hamming(bits1, bits2, valid1, valid2, interpret: bool = False):
     return best_d, rarg, carg
 
 
-@functools.partial(jax.jit, static_argnames=("max_matches", "interpret"))
-def cross_check_match_fused(bits1, bits2, valid1, valid2,
-                            max_matches: int = 512, interpret: bool = False):
-    """Drop-in fused replacement for
-    hamming_distance_matrix + cross_check_match (bit-identical outputs)."""
-    best_d, nn12, nn21 = mutual_nn_hamming(
-        bits1, bits2, valid1, valid2, interpret=interpret)
-    i_idx = jnp.arange(bits1.shape[0])
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mutual_nn_hamming(bits1, bits2, valid1, valid2, interpret: bool = False):
+    """Mutual-nearest-neighbor pieces for {0,1} bit descriptors.
+
+    bits1: (N1, B), bits2: (N2, B) {0,1}; valid masks (N1,), (N2,).
+    Returns (best_d, nn12, nn21): best_d (N1,) f32 true Hamming distance of
+    each row's nearest valid column (== _BIG when none), nn12 (N1,) int32,
+    nn21 (N2,) int32 — bit-identical to the argmins of the masked XLA
+    distance matrix.
+    """
+    na = jnp.sum(bits1.astype(jnp.float32), axis=-1)
+    nb = jnp.sum(bits2.astype(jnp.float32), axis=-1)
+    return _mutual_nn(bits1.astype(jnp.bfloat16), bits2.astype(jnp.bfloat16),
+                      na, nb, valid1, valid2, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mutual_nn_l2sq(d1, d2, valid1, valid2, interpret: bool = False):
+    """Mutual-nearest-neighbor pieces for float descriptors (squared L2).
+
+    Distances equal the XLA path's up to f32 matmul reassociation; the
+    XLA path additionally clamps at 0, so exact-duplicate descriptors may
+    tie-break differently (see module docstring). best_d is clamped at 0
+    for valid rows to match `l2sq_distance_matrix`'s nonnegativity.
+    """
+    a = jnp.asarray(d1, jnp.float32)
+    b = jnp.asarray(d2, jnp.float32)
+    na = jnp.sum(a * a, axis=-1)
+    nb = jnp.sum(b * b, axis=-1)
+    best_d, nn12, nn21 = _mutual_nn(a, b, na, nb, valid1, valid2, interpret)
+    return jnp.maximum(best_d, 0.0), nn12, nn21
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_matches", "norm", "interpret"))
+def cross_check_match_fused(desc1, desc2, valid1, valid2,
+                            max_matches: int = 512, norm: str = "hamming",
+                            interpret: bool = False):
+    """Drop-in fused replacement for the distance matmul + `cross_check_match`
+    (bit-identical for norm='hamming'; reassociation-equal for norm='l2')."""
+    nn = mutual_nn_hamming if norm == "hamming" else mutual_nn_l2sq
+    best_d, nn12, nn21 = nn(desc1, desc2, valid1, valid2,
+                            interpret=interpret)
+    i_idx = jnp.arange(desc1.shape[0])
     mutual = (jnp.take(nn21, nn12) == i_idx) & valid1 & (best_d < _BIG)
     cand_d = jnp.where(mutual, best_d, _BIG)
     k = min(max_matches, cand_d.shape[0])

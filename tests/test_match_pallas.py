@@ -99,3 +99,41 @@ def test_cross_check_fused_on_cv2_packed_descriptors():
     for k in ("idx1", "idx2", "dist", "valid"):
         np.testing.assert_array_equal(
             np.asarray(got[k]), np.asarray(ref[k]), err_msg=k)
+
+
+def test_cross_check_fused_l2_matches_xla_sets():
+    """L2 variant: same match sets as the XLA path up to f32 matmul
+    reassociation (random float descriptors: no duplicate-distance ties)."""
+    from rpe_tpu.ops.match import l2sq_distance_matrix
+    rng = np.random.default_rng(5)
+    d1 = jnp.asarray(rng.normal(size=(256, 128)).astype(np.float32))
+    d2 = jnp.asarray(rng.normal(size=(384, 128)).astype(np.float32))
+    v1 = jnp.asarray(np.arange(256) < 230)
+    v2 = jnp.asarray(np.arange(384) < 300)
+    ref = cross_check_match(l2sq_distance_matrix(d1, d2), v1, v2,
+                            max_matches=128)
+    got = cross_check_match_fused(d1, d2, v1, v2, max_matches=128,
+                                  norm="l2", interpret=True)
+    np.testing.assert_array_equal(np.asarray(got["valid"]),
+                                  np.asarray(ref["valid"]))
+    m = np.asarray(ref["valid"])
+    rset = set(zip(np.asarray(ref["idx1"])[m], np.asarray(ref["idx2"])[m]))
+    gset = set(zip(np.asarray(got["idx1"])[m], np.asarray(got["idx2"])[m]))
+    assert rset == gset
+    np.testing.assert_allclose(np.sort(np.asarray(got["dist"])[m]),
+                               np.sort(np.asarray(ref["dist"])[m]),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_cross_check_fused_l2_nonnegative_self_distance():
+    """Identical descriptor sets: self-matches at distance exactly >= 0."""
+    rng = np.random.default_rng(6)
+    d = jnp.asarray(rng.normal(size=(128, 128)).astype(np.float32))
+    v = jnp.ones(128, bool)
+    got = cross_check_match_fused(d, d, v, v, max_matches=128, norm="l2",
+                                  interpret=True)
+    m = np.asarray(got["valid"])
+    assert m.sum() == 128
+    assert (np.asarray(got["dist"])[m] >= 0).all()
+    np.testing.assert_array_equal(np.asarray(got["idx1"])[m].sort(),
+                                  np.asarray(got["idx2"])[m].sort())

@@ -75,6 +75,89 @@ def _match_kernel(a_ref, b_ref, nam_ref, nbm_ref,
     carg_ref[:] = jnp.where(upd, carg_tile, carg_ref[:])
 
 
+def _ratio_kernel(a_ref, b_ref, nbm_ref, d1_ref, a1_ref, d2_ref):
+    # row-wise best + second-best distance per tile; no cross-tile state
+    dot2 = -2.0 * jax.lax.dot_general(
+        a_ref[:], b_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dr = nbm_ref[:][None, :] + dot2
+    d1 = jnp.min(dr, axis=1)
+    a1 = jnp.argmin(dr, axis=1).astype(jnp.int32)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, dr.shape, 1)
+    dr2 = jnp.where(lanes == a1[:, None], _BIG, dr)
+    d1_ref[:] = d1
+    a1_ref[:] = a1
+    d2_ref[:] = jnp.min(dr2, axis=1)
+
+
+def _row_top2(a, b, na, nb, valid1, valid2, interpret: bool):
+    """Row-wise (best_d, best_idx, second_d) true distances via the fused
+    tile pass (same |a|-invariance trick as _mutual_nn)."""
+    n1, d = a.shape
+    n2 = b.shape[0]
+    assert n1 % _TILE == 0, f"N1={n1} must be a multiple of {_TILE}"
+    nbm = jnp.where(valid2, nb, _BIG)
+    grid = (n1 // _TILE,)
+    row_block = pl.BlockSpec((_TILE,), lambda i: (i,),
+                             memory_space=pltpu.VMEM)
+    d1, a1, d2 = pl.pallas_call(
+        _ratio_kernel,
+        out_shape=(jax.ShapeDtypeStruct((n1,), jnp.float32),
+                   jax.ShapeDtypeStruct((n1,), jnp.int32),
+                   jax.ShapeDtypeStruct((n1,), jnp.float32)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TILE, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(row_block, row_block, row_block),
+        interpret=interpret,
+    )(a, b, nbm)
+    return d1 + na, a1, d2 + na
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_matches", "norm", "interpret"))
+def ratio_match_fused(desc1, desc2, valid1, valid2, ratio: float = 0.75,
+                      max_matches: int = 512, norm: str = "hamming",
+                      interpret: bool = False):
+    """Fused Lowe-ratio matcher (BASELINE.json config #2: 'L2 matching and
+    Lowe-ratio test' on-chip): same semantics as ops/match.py
+    `ratio_test_match` without materializing D. Bit-identical for
+    norm='hamming'; reassociation-equal for norm='l2' (clamped at 0)."""
+    if norm == "hamming":
+        a = desc1.astype(jnp.bfloat16)
+        b = desc2.astype(jnp.bfloat16)
+        na = jnp.sum(desc1.astype(jnp.float32), axis=-1)
+        nb = jnp.sum(desc2.astype(jnp.float32), axis=-1)
+    else:
+        a = jnp.asarray(desc1, jnp.float32)
+        b = jnp.asarray(desc2, jnp.float32)
+        na = jnp.sum(a * a, axis=-1)
+        nb = jnp.sum(b * b, axis=-1)
+    d_best, idx2best, d_second = _row_top2(
+        a, b, na, nb, valid1, valid2, interpret)
+    if norm != "hamming":
+        d_best = jnp.maximum(d_best, 0.0)
+        d_second = jnp.maximum(d_second, 0.0)
+    # canonicalize dead rows to the XLA path's argmin-of-constant result so
+    # even never-kept output slots are bit-identical
+    d_best = jnp.where(valid1, d_best, _BIG)
+    idx2best = jnp.where(valid1 & (d_best < _BIG), idx2best, 0)
+    keep = (d_best < ratio * d_second) & valid1 & (d_best < _BIG)
+    cand_d = jnp.where(keep, d_best, _BIG)
+    k = min(max_matches, cand_d.shape[0])
+    _, sel = jax.lax.approx_max_k(-cand_d, k)
+    idx1 = _pad_to(sel, max_matches, 0)
+    idx2 = _pad_to(jnp.take(idx2best, sel), max_matches, 0)
+    dist = _pad_to(jnp.take(cand_d, sel), max_matches, _BIG)
+    valid = dist < _BIG
+    return {"idx1": idx1, "idx2": idx2, "dist": dist, "valid": valid}
+
+
 def _mutual_nn(a, b, na, nb, valid1, valid2, interpret: bool):
     """Shared driver: a (N1, D), b (N2, D) MXU-ready operands; na/nb the
     per-descriptor norm terms (f32). Returns (best_d, nn12, nn21)."""

@@ -58,19 +58,27 @@ def match_features(det1, det2, cfg: EstimatorConfig):
     m = cfg.matcher
     norm = m.norm_type.lower()
     key = "bits" if norm == "hamming" else "desc"
-    if (norm in ("hamming", "l2") and m.cross_check and _use_pallas()
+    if (norm in ("hamming", "l2") and _use_pallas()
             and os.environ.get("RPE_PALLAS_MATCH")
             and det1[key].shape[0] % 128 == 0):
-        # Fused matmul+mutual-argmin kernel: never materializes the
-        # (N1, N2) distance matrix in HBM (ops/match_pallas.py;
-        # bit-identical for hamming, reassociation-equal for l2). Opt-in
-        # until a real-hardware run validates it — interpret-mode tests
-        # don't rule out a Mosaic layout divergence on the chip.
-        from ..ops.match_pallas import cross_check_match_fused
+        # Fused matmul+reduction kernels: never materialize the (N1, N2)
+        # distance matrix in HBM (ops/match_pallas.py; bit-identical for
+        # hamming, reassociation-equal for l2). Opt-in until a
+        # real-hardware run validates them — interpret-mode tests don't
+        # rule out a Mosaic layout divergence on the chip.
+        from ..ops.match_pallas import (
+            cross_check_match_fused,
+            ratio_match_fused,
+        )
 
-        return cross_check_match_fused(
+        if m.cross_check:
+            return cross_check_match_fused(
+                det1[key], det2[key], det1["valid"], det2["valid"],
+                max_matches=m.max_matches, norm=norm)
+        ratio_eff = m.ratio if norm != "l2" else m.ratio ** 2
+        return ratio_match_fused(
             det1[key], det2[key], det1["valid"], det2["valid"],
-            max_matches=m.max_matches, norm=norm)
+            ratio=ratio_eff, max_matches=m.max_matches, norm=norm)
     if norm == "hamming":
         D = hamming_distance_matrix(det1["bits"], det2["bits"])
     elif m.norm_type.lower() == "l2":

@@ -137,3 +137,53 @@ def test_cross_check_fused_l2_nonnegative_self_distance():
     assert (np.asarray(got["dist"])[m] >= 0).all()
     np.testing.assert_array_equal(np.asarray(got["idx1"])[m].sort(),
                                   np.asarray(got["idx2"])[m].sort())
+
+
+def test_ratio_match_fused_bit_identical_hamming():
+    from rpe_tpu.ops.match import ratio_test_match
+    from rpe_tpu.ops.match_pallas import ratio_match_fused
+    for seed in range(3):
+        rng = np.random.default_rng(10 + seed)
+        bits1, valid1 = _random_bits(rng, 256, 222)
+        # second set = noisy copies of a shuffled subset + fresh random rows:
+        # random-vs-random alone keeps almost nothing at ratio 0.9 (best and
+        # second-best distances concentrate), which would test the empty path
+        rows = rng.integers(0, 256, size=384)
+        noise = (rng.random((384, 256)) < 0.08)
+        b2 = (np.asarray(bits1)[rows] ^ noise).astype(np.uint8)
+        b2[300:] = (rng.random((84, 256)) < 0.5).astype(np.uint8)
+        bits2 = jnp.asarray(b2)
+        valid2 = jnp.asarray(np.arange(384) < 350)
+        D = hamming_distance_matrix(bits1, bits2)
+        ref = ratio_test_match(D, valid1, valid2, ratio=0.9, max_matches=128)
+        got = ratio_match_fused(bits1, bits2, valid1, valid2, ratio=0.9,
+                                max_matches=128, interpret=True)
+        assert int(np.asarray(ref["valid"]).sum()) > 50  # genuine keeps
+        for k in ("idx1", "idx2", "dist", "valid"):
+            np.testing.assert_array_equal(
+                np.asarray(got[k]), np.asarray(ref[k]), err_msg=k)
+
+
+def test_ratio_match_fused_l2_sets():
+    from rpe_tpu.ops.match import l2sq_distance_matrix, ratio_test_match
+    from rpe_tpu.ops.match_pallas import ratio_match_fused
+    rng = np.random.default_rng(13)
+    a = rng.normal(size=(256, 128)).astype(np.float32)
+    # noisy copies so the ratio test genuinely keeps matches (see hamming
+    # test comment)
+    b = (a[rng.integers(0, 256, size=256)]
+         + 0.2 * rng.normal(size=(256, 128))).astype(np.float32)
+    d1 = jnp.asarray(a)
+    d2 = jnp.asarray(b)
+    v1 = jnp.asarray(np.arange(256) < 240)
+    v2 = jnp.asarray(np.arange(256) < 250)
+    ref = ratio_test_match(l2sq_distance_matrix(d1, d2), v1, v2,
+                           ratio=0.9 ** 2, max_matches=128)
+    got = ratio_match_fused(d1, d2, v1, v2, ratio=0.9 ** 2,
+                            max_matches=128, norm="l2", interpret=True)
+    m = np.asarray(ref["valid"])
+    assert m.sum() > 50  # genuine keeps
+    np.testing.assert_array_equal(np.asarray(got["valid"]), m)
+    rset = set(zip(np.asarray(ref["idx1"])[m], np.asarray(ref["idx2"])[m]))
+    gset = set(zip(np.asarray(got["idx1"])[m], np.asarray(got["idx2"])[m]))
+    assert rset == gset

@@ -219,13 +219,32 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
         # Opt-in (RPE_PALLAS_EXTRACT=1) until a real-hardware run validates
         # descriptor bit-parity — interpret-mode tests alone don't rule out
         # a Mosaic layout divergence on the chip.
+        slot_of_sorted = jnp.where(keep, flat, 0)             # (K,)
+        valid_sorted = jnp.take(valid, order) & keep
+        if os.environ.get("RPE_EXTRACT_MOMENTS"):
+            # further fusion: IC-orientation moments in-kernel; the raw
+            # patches (whose only consumer is the orientation) never
+            # reach HBM
+            from .extract_pallas import extract_windows_moments
+
+            blurp, m10, m01 = extract_windows_moments(
+                win_raw, win_blur, tbl_x0, _rel_y)
+            blur = blurp[:, :, :patch, :patch].reshape(
+                nb * CAP, patch, patch)
+            return {
+                "patches_raw": None,
+                "patches_blur": blur,
+                "m10": m10.reshape(nb * CAP),
+                "m01": m01.reshape(nb * CAP),
+                "slot_of_sorted": slot_of_sorted,
+                "order": order,
+                "valid_sorted": valid_sorted,
+            }
         from .extract_pallas import extract_windows
 
         rawp, blurp = extract_windows(win_raw, win_blur, tbl_x0, _rel_y)
         raw = rawp[:, :, :patch, :patch].reshape(nb * CAP, patch, patch)
         blur = blurp[:, :, :patch, :patch].reshape(nb * CAP, patch, patch)
-        slot_of_sorted = jnp.where(keep, flat, 0)             # (K,)
-        valid_sorted = jnp.take(valid, order) & keep
         return {
             "patches_raw": raw,
             "patches_blur": blur,

@@ -240,7 +240,11 @@ def orb_detect_and_describe_atlas(
 
     ext = banded_extract(atlas, blurred, xy_atlas, valid, patch=PATCH)
 
-    angle_slots = ic_angles(ext["patches_raw"])
+    if ext.get("m10") is not None:
+        # moments computed in the extraction kernel (RPE_EXTRACT_MOMENTS)
+        angle_slots = jnp.arctan2(ext["m01"], ext["m10"])
+    else:
+        angle_slots = ic_angles(ext["patches_raw"])
     bits_slots = steered_brief(ext["patches_blur"], angle_slots)
 
     order = ext["order"]

@@ -218,3 +218,93 @@ def test_extract_windows_kernel_matches_direct_slices():
                 raw[b, c], win_raw[b, y0:y0 + patch, x0:x0 + patch])
             np.testing.assert_array_equal(
                 blur[b, c], win_blur[b, y0:y0 + patch, x0:x0 + patch])
+
+
+def test_extract_windows_moments_matches_ic_angles():
+    """extract_windows_moments: blurred patches bit-identical to
+    extract_windows; in-kernel IC moments match ops/orb.ic_angles on the
+    directly-sliced raw patches to f32-reassociation tolerance."""
+    from rpe_tpu.ops.atlas import CAP, WIN, BAND
+    from rpe_tpu.ops.extract_pallas import (
+        extract_windows,
+        extract_windows_moments,
+    )
+    from rpe_tpu.ops.orb import ic_angles
+
+    rng = np.random.default_rng(1)
+    nb, wp, patch = 5, 256, 31
+    win_raw = rng.uniform(0, 255, (nb, WIN, wp)).astype(np.float32)
+    win_blur = rng.uniform(0, 255, (nb, WIN, wp)).astype(np.float32)
+    tbl_x0 = rng.integers(0, wp - patch, (nb, CAP)).astype(np.int32)
+    rel_y = rng.integers(0, BAND, (nb, CAP)).astype(np.int32)
+
+    raw_ref, blur_ref = extract_windows(
+        jnp.asarray(win_raw), jnp.asarray(win_blur),
+        jnp.asarray(tbl_x0), jnp.asarray(rel_y), interpret=True)
+    blur, m10, m01 = extract_windows_moments(
+        jnp.asarray(win_raw), jnp.asarray(win_blur),
+        jnp.asarray(tbl_x0), jnp.asarray(rel_y), interpret=True)
+    np.testing.assert_array_equal(np.asarray(blur), np.asarray(blur_ref))
+
+    ang_ref = np.asarray(ic_angles(
+        jnp.asarray(np.asarray(raw_ref)[:, :, :patch, :patch]
+                    .reshape(nb * CAP, patch, patch))))
+    ang = np.arctan2(np.asarray(m01).reshape(-1), np.asarray(m10).reshape(-1))
+    # moments reorder f32 sums; angles agree far below the steered-BRIEF
+    # rotation quantization
+    d = np.abs(np.angle(np.exp(1j * (ang - ang_ref))))
+    assert d.max() < 1e-4, d.max()
+
+
+def test_orb_atlas_moments_path_end_to_end(gray):
+    """Full ORB detection with RPE_PALLAS_EXTRACT + RPE_EXTRACT_MOMENTS
+    (forced, interpret): same keypoints as the XLA path, descriptors equal
+    on ~all slots (angle ulp differences may flip rounded pattern coords
+    on rare near-half-integer rotations)."""
+    import os
+    from unittest import mock
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    import rpe_tpu.ops.fast as fast_mod
+    from rpe_tpu.ops.orb import orb_detect_and_describe
+
+    img = jnp.asarray(gray[:160, :192])
+    ref = orb_detect_and_describe(img, nfeatures=500, max_kpts=512)
+
+    with mock.patch.object(fast_mod, "_use_pallas", lambda: True), \
+         mock.patch.dict(os.environ, {"RPE_PALLAS_EXTRACT": "1",
+                                      "RPE_EXTRACT_MOMENTS": "1",
+                                      "RPE_NO_PALLAS": ""}), \
+         pltpu.force_tpu_interpret_mode():
+        got = orb_detect_and_describe(img, nfeatures=500, max_kpts=512)
+
+    vr = np.asarray(ref["valid"])
+    vg = np.asarray(got["valid"])
+    assert vg.sum() > 0.9 * vr.sum()
+    # same keypoint positions (order-free)
+    rset = {tuple(p) for p in np.round(np.asarray(ref["xy"])[vr]).astype(int)}
+    gxy = np.round(np.asarray(got["xy"])[vg]).astype(int)
+    assert np.mean([tuple(p) in rset for p in gxy]) > 0.9
+    # descriptors: overwhelming bit agreement on common keypoints (keyed by
+    # (x, y, level) — base coords alone collide across pyramid levels — and
+    # skipping ambiguous duplicate keys)
+    from collections import Counter
+
+    bits_r = np.asarray(ref["bits"])[vr]
+    bits_g = np.asarray(got["bits"])[vg]
+    lev_r = np.asarray(ref["level"])[vr]
+    lev_g = np.asarray(got["level"])[vg]
+    keys_r = [tuple(p) + (int(l),) for p, l in zip(
+        np.round(np.asarray(ref["xy"])[vr]).astype(int), lev_r)]
+    keys_g = [tuple(p) + (int(l),) for p, l in zip(gxy, lev_g)]
+    dup_r = {k for k, c in Counter(keys_r).items() if c > 1}
+    dup_g = {k for k, c in Counter(keys_g).items() if c > 1}
+    key_r = {k: i for i, k in enumerate(keys_r) if k not in dup_r}
+    agree = [
+        (bits_r[key_r[k]] == bits_g[i]).mean()
+        for i, k in enumerate(keys_g)
+        if k in key_r and k not in dup_g
+    ]
+    assert len(agree) > 100
+    assert np.mean(agree) > 0.999, np.mean(agree)

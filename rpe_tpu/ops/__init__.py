@@ -9,6 +9,7 @@ from .match import (
     ratio_test_match,
     unpack_descriptor_bits,
 )
+from .match_pallas import cross_check_match_fused, ratio_match_fused
 from .orb import orb_detect_and_describe
 from .pyramid import build_pyramid, gaussian_blur, level_shapes
 from .fast import fast_score_map, harris_response_map, nonmax_suppress_3x3
@@ -19,6 +20,8 @@ __all__ = [
     "l2sq_distance_matrix",
     "ratio_test_match",
     "unpack_descriptor_bits",
+    "cross_check_match_fused",
+    "ratio_match_fused",
     "orb_detect_and_describe",
     "build_pyramid",
     "gaussian_blur",

@@ -77,35 +77,38 @@ def _fast_harris_kernel(threshold, k_harris, tile, prev_ref, cur_ref,
     s_rows = tile + 2
     y0 = HALO - 1
     center = x[y0: y0 + s_rows, :]
-    bright = []
-    dark = []
-    diffs = []
-    for dx, dy in _CIRCLE:
+    # The 16 bright/dark masks pack into ONE int32 plane per polarity
+    # (bit i = neighbor i); the ">= 9 contiguous" log-doubling then runs
+    # on packed bits (4 int ops per rotation) instead of 16 boolean planes
+    # per stage — ~50 fewer VPU ops/px, boolean-exact (corner set is
+    # bit-identical to the unpacked formulation). The margin score uses
+    # where(d > t, d - t, 0) == max(d - t, 0): a > b implies fl(a-b) > 0
+    # in f32, so the forms are exactly equal.
+    packed_b = None
+    packed_d = None
+    score_b = jnp.zeros_like(center)
+    score_d = jnp.zeros_like(center)
+    for i, (dx, dy) in enumerate(_CIRCLE):
         nb = shifted(dy, dx, y0, s_rows)
         d = nb - center
-        diffs.append(d)
-        bright.append(d > threshold)
-        dark.append(d < -threshold)
+        score_b = score_b + jnp.maximum(d - threshold, 0.0)
+        score_d = score_d + jnp.maximum(-d - threshold, 0.0)
+        bit_b = jnp.where(d > threshold, jnp.int32(1 << i), jnp.int32(0))
+        bit_d = jnp.where(d < -threshold, jnp.int32(1 << i), jnp.int32(0))
+        packed_b = bit_b if packed_b is None else (packed_b | bit_b)
+        packed_d = bit_d if packed_d is None else (packed_d | bit_d)
 
-    def run_ge9(b):
-        def rot(i, s):
-            return b[(i + s) % 16]
-        s2 = [b[i] & rot(i, 1) for i in range(16)]
-        s4 = [s2[i] & s2[(i + 2) % 16] for i in range(16)]
-        s8 = [s4[i] & s4[(i + 4) % 16] for i in range(16)]
-        s9 = [s8[i] & b[(i + 8) % 16] for i in range(16)]
-        out = s9[0]
-        for i in range(1, 16):
-            out = out | s9[i]
-        return out
+    def run_ge9_packed(m):
+        def rot(v, s):
+            # circular left-rotation of the low 16 bits
+            return ((v << s) | (v >> (16 - s))) & 0xFFFF
+        s2 = m & rot(m, 1)
+        s4 = s2 & rot(s2, 2)
+        s8 = s4 & rot(s4, 4)
+        s9 = s8 & rot(m, 8)
+        return s9 != 0
 
-    is_corner = run_ge9(bright) | run_ge9(dark)
-    zero = jnp.zeros_like(center)
-    score_b = zero
-    score_d = zero
-    for d, br, dk in zip(diffs, bright, dark):
-        score_b = score_b + jnp.where(br, d - threshold, 0.0)
-        score_d = score_d + jnp.where(dk, -d - threshold, 0.0)
+    is_corner = run_ge9_packed(packed_b) | run_ge9_packed(packed_d)
     fast_score = jnp.where(is_corner, jnp.maximum(score_b, score_d), 0.0)
 
     # --- Harris response on the TILE_ROWS output rows

@@ -160,7 +160,22 @@ def main():
         }))
         return
     img1, img2, K = (*_load_frames(), _camera())
-    tpu_pps, out = bench_tpu(img1, img2, K)
+    note = None
+    try:
+        tpu_pps, out = bench_tpu(img1, img2, K)
+    except Exception as e:
+        # A Mosaic rejection of a default-on kernel must not cost the
+        # round's number: fall back to the pure-XLA formulation once.
+        print(f"[bench] default path failed ({type(e).__name__}: {e}); "
+              f"retrying with RPE_NO_PALLAS=1", file=sys.stderr)
+        import os
+
+        import jax
+
+        os.environ["RPE_NO_PALLAS"] = "1"
+        jax.clear_caches()
+        tpu_pps, out = bench_tpu(img1, img2, K)
+        note = "RPE_NO_PALLAS fallback (default kernel path failed)"
     try:
         cv_pps = bench_opencv(img1, img2, K)
     except Exception as e:  # benchmark must still emit its line
@@ -174,6 +189,8 @@ def main():
         "unit": "pairs/s",
         "vs_baseline": round(tpu_pps / cv_pps, 3) if cv_pps == cv_pps else None,
     }
+    if note:
+        result["note"] = note
     print(json.dumps(result))
 
 

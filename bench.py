@@ -146,6 +146,32 @@ def _wait_for_backend() -> bool:
         time.sleep(min(300.0, left))
 
 
+_VALIDATE_LOG = "/tmp/validate_kernels.log"
+_GATES = ("RPE_PALLAS_5PT", "RPE_PALLAS_EXTRACT", "RPE_PALLAS_MATCH",
+          "RPE_EXTRACT_T")
+
+
+def _enable_validated_kernels() -> bool:
+    """Turn the opt-in Pallas kernels on IFF this host's hardware
+    validation run (.scratch/validate_kernels_tpu.py, launched by the
+    tunnel-recovery chain) recorded a full PASS. Unvalidated kernels stay
+    off — round 2 taught us never to default-enable a kernel the real chip
+    has not compiled (CLAUDE.md hazard #5)."""
+    import os
+
+    if any(os.environ.get(g) is not None for g in _GATES):
+        return False  # explicit operator choice wins
+    try:
+        with open(_VALIDATE_LOG) as f:
+            passed = "VALIDATION PASS" in f.read()
+    except OSError:
+        return False
+    if passed:
+        for g in _GATES:
+            os.environ[g] = "1"
+    return passed
+
+
 def main():
     if not _wait_for_backend():
         # Always emit a machine-parseable line — a null value with a reason
@@ -161,6 +187,8 @@ def main():
         return
     img1, img2, K = (*_load_frames(), _camera())
     note = None
+    if _enable_validated_kernels():
+        note = "validated Pallas kernels enabled (hardware PASS on record)"
     try:
         tpu_pps, out = bench_tpu(img1, img2, K)
     except Exception as e:

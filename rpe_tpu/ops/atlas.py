@@ -213,7 +213,12 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
 
     from .fast import _use_pallas
 
-    if _use_pallas() and os.environ.get("RPE_PALLAS_EXTRACT"):
+    # RPE_PALLAS_INTERPRET=1 forces the Pallas paths in interpret mode on
+    # any backend (CPU end-to-end parity tests); production TPU runs leave
+    # it unset.
+    _interp = bool(os.environ.get("RPE_PALLAS_INTERPRET"))
+    if ((_use_pallas() or _interp)
+            and os.environ.get("RPE_PALLAS_EXTRACT")):
         # VMEM-resident one-hot selection (ops/extract_pallas.py): the XLA
         # path below materializes ~1.4 GB/image of one-hot operands in HBM.
         # Opt-in (RPE_PALLAS_EXTRACT=1) until a real-hardware run validates
@@ -221,6 +226,26 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
         # a Mosaic layout divergence on the chip.
         slot_of_sorted = jnp.where(keep, flat, 0)             # (K,)
         valid_sorted = jnp.take(valid, order) & keep
+        if os.environ.get("RPE_EXTRACT_T"):
+            # v2: zero-FLOP transposed extraction fed straight from the
+            # atlases (no windows() materialization); moments in-kernel,
+            # blur patches TRANSPOSED — paired with orb.steered_brief_t.
+            from .extract_pallas import extract_windows_t
+
+            blurp_t, m10, m01 = extract_windows_t(
+                atlas, blurred, tbl_x0, _rel_y, interpret=_interp)
+            blur_t = blurp_t[:, :, :patch, :patch].reshape(
+                nb * CAP, patch, patch)
+            return {
+                "patches_raw": None,
+                "patches_blur": None,
+                "patches_blur_t": blur_t,
+                "m10": m10.reshape(nb * CAP),
+                "m01": m01.reshape(nb * CAP),
+                "slot_of_sorted": slot_of_sorted,
+                "order": order,
+                "valid_sorted": valid_sorted,
+            }
         if os.environ.get("RPE_EXTRACT_MOMENTS"):
             # further fusion: IC-orientation moments in-kernel; the raw
             # patches (whose only consumer is the orientation) never
@@ -228,7 +253,7 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
             from .extract_pallas import extract_windows_moments
 
             blurp, m10, m01 = extract_windows_moments(
-                win_raw, win_blur, tbl_x0, _rel_y)
+                win_raw, win_blur, tbl_x0, _rel_y, interpret=_interp)
             blur = blurp[:, :, :patch, :patch].reshape(
                 nb * CAP, patch, patch)
             return {
@@ -242,7 +267,8 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
             }
         from .extract_pallas import extract_windows
 
-        rawp, blurp = extract_windows(win_raw, win_blur, tbl_x0, _rel_y)
+        rawp, blurp = extract_windows(win_raw, win_blur, tbl_x0, _rel_y,
+                                      interpret=_interp)
         raw = rawp[:, :, :patch, :patch].reshape(nb * CAP, patch, patch)
         blur = blurp[:, :, :patch, :patch].reshape(nb * CAP, patch, patch)
         return {

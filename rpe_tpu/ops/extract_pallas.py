@@ -132,6 +132,120 @@ def extract_windows_moments(win_raw, win_blur, tbl_x0, rel_y,
     return blur, m10, m01
 
 
+def _extract_t_kernel(r0, r1, r2, r3, r4, b0, b1, b2, b3, b4,
+                      x0_ref, ry_ref, mu_ref, mv_ref,
+                      blur_ref, m10_ref, m01_ref):
+    # v2 kernel: NO one-hot matmul at all. The band window is rebuilt from
+    # five overlapping (BAND, WP) atlas blocks per plane (the XLA-side
+    # windows() materialization disappears), transposed ONCE in VMEM, and
+    # each keypoint slot is served by a dynamic *sublane* slice at its
+    # column start plus an 8-way masked accumulate over its in-band row
+    # offset. This removes the 57 GFLOP/image selection-matmul floor of
+    # _extract_kernel (docs/PERF_LOG.md roofline, "banded extraction" row);
+    # what remains is pure VPU data movement on 32x32 tiles.
+    #
+    # Patches are produced TRANSPOSED ([u, v] = [x, y]) — consumers use
+    # ops/orb.steered_brief_t / transposed moment masks, selecting the
+    # exact same values (bit-identical descriptors).
+    w = jnp.concatenate([r0[:], r1[:], r2[:], r3[:], r4[:],
+                         b0[:], b1[:], b2[:], b3[:], b4[:]],
+                        axis=0)                              # (2*WIN, WP)
+    wt = jnp.transpose(w)                                    # (WP, 2*WIN)
+    # 8 zero rows so the x0 = WP - 31 edge slice stays in bounds
+    wt = jnp.concatenate(
+        [wt, jnp.zeros((BAND, wt.shape[1]), wt.dtype)], axis=0)
+    mu = mu_ref[:]                                           # (_PP, _PP) m.T
+    mv = mv_ref[:]
+    blurs, m10s, m01s = [], [], []
+    for c in range(CAP):
+        x0c = x0_ref[0, c]
+        ryc = ry_ref[0, c]
+        xs = jax.lax.dynamic_slice(wt, (x0c, 0), (_PP, 2 * WIN))
+        raw_t = jnp.zeros((_PP, _PP), jnp.float32)
+        blur_t = jnp.zeros((_PP, _PP), jnp.float32)
+        # exactly one r matches; masked multiply-accumulate (scalar-pred
+        # selects lower less uniformly than fma across Mosaic versions)
+        for r in range(BAND):
+            sel = (ryc == r).astype(jnp.float32)
+            raw_t = raw_t + sel * jax.lax.slice(
+                xs, (0, r), (_PP, r + _PP))
+            blur_t = blur_t + sel * jax.lax.slice(
+                xs, (0, WIN + r), (_PP, WIN + r + _PP))
+        blurs.append(blur_t)
+        m10s.append(jnp.sum(raw_t * mu))
+        m01s.append(jnp.sum(raw_t * mv))
+    blur_ref[0] = jnp.concatenate(blurs, axis=1)
+    m10_ref[0] = jnp.stack(m10s)
+    m01_ref[0] = jnp.stack(m01s)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def extract_windows_t(atlas, blurred, tbl_x0, rel_y, interpret: bool = False):
+    """Transposed zero-FLOP extraction: (blur_t, m10, m01) from the atlases.
+
+    atlas/blurred: (HA, WP) with HA % BAND == 0 and >= 40 dead pad rows at
+    the bottom (atlas_layout guarantees 48+; bands whose 5-block window
+    would overrun the atlas are clamped to the last block and can only
+    contain parked/invalid keypoints). tbl_x0/rel_y: (NB, CAP) int32 as in
+    banded_extract.
+
+    Returns blur_t (NB, CAP, _PP, _PP) f32 with patches TRANSPOSED
+    (blur_t[b, c, u, v] == blurred[y0 + v, x0 + u] for u, v < 31), plus the
+    raw patches' IC moments m10/m01 (NB, CAP) computed in-kernel (raw
+    patches never reach HBM). Feed blur_t to ops/orb.steered_brief_t for
+    bit-identical descriptors."""
+    from .orb import _ic_angle_masks
+
+    ha, wp = atlas.shape
+    nb = ha // BAND
+    nq = WIN // BAND
+
+    mask_np, us_np, vs_np = _ic_angle_masks()
+    mu_t = jnp.asarray(np.pad(mask_np * us_np, ((0, 1), (0, 1))).T)
+    mv_t = jnp.asarray(np.pad(mask_np * vs_np, ((0, 1), (0, 1))).T)
+
+    def _block(q):
+        return pl.BlockSpec((BAND, wp),
+                            lambda b, q=q: (jnp.minimum(b + q, nb - 1), 0),
+                            memory_space=pltpu.VMEM)
+
+    blur, m10, m01 = pl.pallas_call(
+        _extract_t_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, _PP, CAP * _PP), jnp.float32),
+            jax.ShapeDtypeStruct((nb, CAP), jnp.float32),
+            jax.ShapeDtypeStruct((nb, CAP), jnp.float32),
+        ),
+        grid=(nb,),
+        in_specs=(
+            [_block(q) for q in range(nq)]          # raw plane, 5 blocks
+            + [_block(q) for q in range(nq)]        # blur plane, 5 blocks
+            + [
+                pl.BlockSpec((1, CAP), lambda b: (b, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, CAP), lambda b: (b, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((_PP, _PP), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_PP, _PP), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+        ),
+        out_specs=(
+            pl.BlockSpec((1, _PP, CAP * _PP), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CAP), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CAP), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(*([atlas] * nq + [blurred] * nq
+        + [tbl_x0.astype(jnp.int32), rel_y.astype(jnp.int32), mu_t, mv_t]))
+    blur = blur.reshape(nb, _PP, CAP, _PP).transpose(0, 2, 1, 3)
+    return blur, m10, m01
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def extract_windows(win_raw, win_blur, tbl_x0, rel_y, interpret: bool = False):
     """Extract CAP padded 32x32 patches per band from both window stacks.

@@ -115,6 +115,29 @@ def ic_angles(patches):
     return jnp.arctan2(m01, m10)
 
 
+def _brief_onehots(angles):
+    """Rotated BRIEF sampling one-hots: (row_oh, col_oh), each (K, S, P)."""
+    pat = jnp.asarray(brief_pattern(), dtype=jnp.float32)  # (256, 2, 2)
+    ca, sa = jnp.cos(angles), jnp.sin(angles)              # (K,)
+    px, py = pat[..., 0], pat[..., 1]                      # (256, 2)
+    # rotate: x' = x cos - y sin ; y' = x sin + y cos  (per keypoint)
+    rx = px[None] * ca[:, None, None] - py[None] * sa[:, None, None]
+    ry = px[None] * sa[:, None, None] + py[None] * ca[:, None, None]
+    ix = jnp.round(rx).astype(jnp.int32) + PATCH_R         # (K, 256, 2)
+    iy = jnp.round(ry).astype(jnp.int32) + PATCH_R
+    k, s = ix.shape[0], 2 * ix.shape[1]
+    grid = jnp.arange(PATCH)
+    row_oh = (iy.reshape(k, s)[..., None] == grid).astype(jnp.float32)
+    col_oh = (ix.reshape(k, s)[..., None] == grid).astype(jnp.float32)
+    return row_oh, col_oh
+
+
+def _brief_bits(vals):
+    k, s = vals.shape
+    vals = vals.reshape(k, s // 2, 2)
+    return (vals[..., 0] < vals[..., 1]).astype(jnp.uint8)
+
+
 def steered_brief(patches_blur, angles):
     """Rotated-pattern BRIEF bits.
 
@@ -125,27 +148,26 @@ def steered_brief(patches_blur, angles):
     contractions on the MXU (sample = rowOH . patch . colOH) instead of the
     element-at-a-time gather TPUs execute poorly.
     """
-    pat = jnp.asarray(brief_pattern(), dtype=jnp.float32)  # (256, 2, 2)
-    ca, sa = jnp.cos(angles), jnp.sin(angles)              # (K,)
-    px, py = pat[..., 0], pat[..., 1]                      # (256, 2)
-    # rotate: x' = x cos - y sin ; y' = x sin + y cos  (per keypoint)
-    rx = px[None] * ca[:, None, None] - py[None] * sa[:, None, None]
-    ry = px[None] * sa[:, None, None] + py[None] * ca[:, None, None]
-    ix = jnp.round(rx).astype(jnp.int32) + PATCH_R         # (K, 256, 2)
-    iy = jnp.round(ry).astype(jnp.int32) + PATCH_R
-    k, s = ix.shape[0], 2 * ix.shape[1]
-    ixf = ix.reshape(k, s)
-    iyf = iy.reshape(k, s)
-    grid = jnp.arange(PATCH)
-    row_oh = (iyf[..., None] == grid).astype(jnp.float32)    # (K, S, P)
-    col_oh = (ixf[..., None] == grid).astype(jnp.float32)    # (K, S, P)
+    row_oh, col_oh = _brief_onehots(angles)
     # One-hot selection: exactly one nonzero product per output; DEFAULT
     # (bf16x3) precision reconstructs image-derived f32 values exactly.
     tmp = jnp.einsum("ksy,kyx->ksx", row_oh, patches_blur,
                      preferred_element_type=jnp.float32)     # (K, S, P)
     vals = jnp.sum(tmp * col_oh, axis=-1)                    # (K, S)
-    vals = vals.reshape(k, s // 2, 2)
-    return (vals[..., 0] < vals[..., 1]).astype(jnp.uint8)
+    return _brief_bits(vals)
+
+
+def steered_brief_t(patches_blur_t, angles):
+    """steered_brief for TRANSPOSED patches (patch[u, v], u = x, v = y) as
+    produced by ops/extract_pallas.extract_windows_t. Selects the exact
+    same scalar per sample point (one-hot selection is exact in every
+    contraction order), so the bits are bit-identical to
+    steered_brief(patches, angles) with patches = transpose(patches_t)."""
+    row_oh, col_oh = _brief_onehots(angles)
+    tmp = jnp.einsum("ksx,kxy->ksy", col_oh, patches_blur_t,
+                     preferred_element_type=jnp.float32)     # (K, S, P)
+    vals = jnp.sum(tmp * row_oh, axis=-1)                    # (K, S)
+    return _brief_bits(vals)
 
 
 @functools.lru_cache(maxsize=None)
@@ -245,7 +267,11 @@ def orb_detect_and_describe_atlas(
         angle_slots = jnp.arctan2(ext["m01"], ext["m10"])
     else:
         angle_slots = ic_angles(ext["patches_raw"])
-    bits_slots = steered_brief(ext["patches_blur"], angle_slots)
+    if ext.get("patches_blur_t") is not None:
+        # transposed patches from extract_windows_t (RPE_EXTRACT_T)
+        bits_slots = steered_brief_t(ext["patches_blur_t"], angle_slots)
+    else:
+        bits_slots = steered_brief(ext["patches_blur"], angle_slots)
 
     order = ext["order"]
     slot = ext["slot_of_sorted"]

@@ -308,3 +308,109 @@ def test_orb_atlas_moments_path_end_to_end(gray):
     ]
     assert len(agree) > 100
     assert np.mean(agree) > 0.999, np.mean(agree)
+
+
+def test_extract_windows_t_matches_direct_slices():
+    """ops/extract_pallas.extract_windows_t (zero-FLOP transposed
+    extraction fed straight from the atlases) vs direct slicing:
+    transposed blur patches bit-identical, in-kernel IC moments match the
+    mask sums on directly-sliced raw patches."""
+    from rpe_tpu.ops.atlas import BAND, CAP, WIN
+    from rpe_tpu.ops.extract_pallas import extract_windows_t
+    from rpe_tpu.ops.orb import _ic_angle_masks
+
+    rng = np.random.default_rng(7)
+    nb, wp, patch = 16, 256, 31
+    ha = nb * BAND
+    atlas = rng.uniform(0, 255, (ha, wp)).astype(np.float32)
+    blurred = rng.uniform(0, 255, (ha, wp)).astype(np.float32)
+    tbl_x0 = rng.integers(0, wp - patch + 1, (nb, CAP)).astype(np.int32)
+    tbl_x0[0, 0] = wp - patch          # right-edge slice must stay exact
+    rel_y = rng.integers(0, BAND, (nb, CAP)).astype(np.int32)
+
+    blur_t, m10, m01 = extract_windows_t(
+        jnp.asarray(atlas), jnp.asarray(blurred),
+        jnp.asarray(tbl_x0), jnp.asarray(rel_y), interpret=True)
+    blur_t = np.asarray(blur_t)
+    m10, m01 = np.asarray(m10), np.asarray(m01)
+
+    mask, us, vs = _ic_angle_masks()
+    # bands whose 5-block window would overrun the atlas read clamped data
+    # (only ever parked keypoints in production) — assert the rest
+    for b in range(nb - WIN // BAND):
+        for c in range(CAP):
+            y0 = b * BAND + rel_y[b, c]
+            x0 = tbl_x0[b, c]
+            raw = atlas[y0:y0 + patch, x0:x0 + patch]
+            np.testing.assert_array_equal(
+                blur_t[b, c, :patch, :patch].T,
+                blurred[y0:y0 + patch, x0:x0 + patch])
+            np.testing.assert_allclose(
+                m10[b, c], float(np.sum(raw * mask * us)), rtol=2e-4,
+                atol=1e-2)
+            np.testing.assert_allclose(
+                m01[b, c], float(np.sum(raw * mask * vs)), rtol=2e-4,
+                atol=1e-2)
+
+
+def test_steered_brief_t_bit_identical():
+    """steered_brief_t(transpose(patches)) must reproduce
+    steered_brief(patches) bit for bit (same one-hot-selected scalars)."""
+    from rpe_tpu.ops.orb import steered_brief, steered_brief_t
+
+    rng = np.random.default_rng(11)
+    k = 64
+    patches = rng.uniform(0, 255, (k, 31, 31)).astype(np.float32)
+    angles = rng.uniform(-np.pi, np.pi, (k,)).astype(np.float32)
+    a = np.asarray(steered_brief(jnp.asarray(patches), jnp.asarray(angles)))
+    b = np.asarray(steered_brief_t(
+        jnp.asarray(patches).transpose(0, 2, 1), jnp.asarray(angles)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_extract_t_end_to_end_descriptor_parity(gray):
+    """Full atlas ORB with RPE_EXTRACT_T=1 (transposed kernel + brief_t)
+    vs the ungated XLA path: same keypoints/validity, >= 99.9% descriptor
+    bit agreement (moment reassociation can nudge angles ~1e-4, flipping
+    the odd rounded pattern index)."""
+    import os
+    from unittest import mock
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    import rpe_tpu.ops.fast as fast_mod
+    from rpe_tpu.ops.orb import orb_detect_and_describe_atlas
+
+    img = jnp.asarray(gray[:160, :192])
+    # both runs share the (mocked) Pallas rank path so the ONLY difference
+    # is the extraction backend: moments kernel vs transposed-T kernel
+    with mock.patch.object(fast_mod, "_use_pallas", lambda: True), \
+         mock.patch.dict(os.environ, {"RPE_PALLAS_EXTRACT": "1",
+                                      "RPE_EXTRACT_MOMENTS": "1",
+                                      "RPE_NO_PALLAS": ""}), \
+         pltpu.force_tpu_interpret_mode():
+        ref = orb_detect_and_describe_atlas(img, nfeatures=500, nlevels=4,
+                                            max_kpts=512)
+
+    with mock.patch.object(fast_mod, "_use_pallas", lambda: True), \
+         mock.patch.dict(os.environ, {"RPE_PALLAS_EXTRACT": "1",
+                                      "RPE_EXTRACT_T": "1",
+                                      "RPE_NO_PALLAS": ""}), \
+         pltpu.force_tpu_interpret_mode():
+        got = orb_detect_and_describe_atlas(img, nfeatures=500, nlevels=4,
+                                            max_kpts=512)
+
+    vr = np.asarray(ref["valid"])
+    vg = np.asarray(got["valid"])
+    np.testing.assert_array_equal(vr, vg)
+    np.testing.assert_allclose(np.asarray(ref["xy"])[vr],
+                               np.asarray(got["xy"])[vg])
+    bits_r = np.asarray(ref["bits"])[vr]
+    bits_g = np.asarray(got["bits"])[vg]
+    assert vr.sum() > 100
+    agree = (bits_r == bits_g).mean()
+    assert agree > 0.999, agree
+    ang_r = np.asarray(ref["angle"])[vr]
+    ang_g = np.asarray(got["angle"])[vg]
+    d = np.abs(np.angle(np.exp(1j * (ang_r - ang_g))))
+    assert d.max() < 1e-3, d.max()

@@ -71,6 +71,8 @@ def _atlas_resize_mats(h: int, w: int, nlevels: int, scale_factor: float):
     lru_cache + tracers don't mix). Returns (Rv, Cws): Rv (sum lh_{l>=1}, h)
     stacks every level>=1's vertical weights; Cws[l-1] is (w, lw_l)."""
     shapes = level_shapes(h, w, nlevels, scale_factor)
+    if len(shapes) == 1:        # single-level pyramid: nothing to resize
+        return np.zeros((0, h), np.float32), ()
     Rv = np.concatenate(
         [_linear_resize_matrix(lh, h) for (lh, _) in shapes[1:]], axis=0)
     Cws = tuple(_linear_resize_matrix(lw, w).T.copy()

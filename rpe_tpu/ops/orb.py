@@ -54,14 +54,37 @@ def level_quotas(nfeatures: int, nlevels: int, scale_factor: float):
     return quotas
 
 
-@functools.lru_cache(maxsize=None)
-def brief_pattern(n_pairs: int = 256, seed: int = 12345):
-    """Deterministic Gaussian BRIEF pattern: (n_pairs, 2, 2) int32 (x, y).
+def brief_pattern(n_pairs: int = 256, seed: int = 12345, kind: str = None):
+    """BRIEF pattern: (n_pairs, 2, 2) int32 (x, y).
 
-    Points ~ N(0, (31/5)^2) clipped by rejection to radius <= PATTERN_R so
-    any rotation keeps samples inside the 31x31 patch. Fixed seed makes the
-    descriptor a stable format across processes/hosts.
+    kind (default: the RPE_BRIEF env var, else "gauss"):
+      - "gauss": deterministic Gaussian pattern, points ~ N(0, (31/5)^2)
+        clipped by rejection to radius <= PATTERN_R so any rotation keeps
+        samples inside the 31x31 patch. Fixed seed makes the descriptor a
+        stable format across processes/hosts. The framework default.
+      - "cv2": OpenCV's learned sampling layout (brief_cv2_pattern.py,
+        recovered empirically from the cv2 oracle) — descriptors become
+        matchable against cv2-produced ones. 47/512 points have radius
+        > 15; when rotation pushes one past the patch rim, sampling clamps
+        to the rim (cv2 reads the full image there), costing a few bits of
+        agreement at unlucky angles (see tests/test_fast_orb.py interop
+        gate).
     """
+    import os
+
+    if kind is None:
+        kind = os.environ.get("RPE_BRIEF", "gauss")
+    return _brief_pattern_cached(n_pairs, seed, kind)
+
+
+@functools.lru_cache(maxsize=None)
+def _brief_pattern_cached(n_pairs: int, seed: int, kind: str):
+    if kind == "cv2":
+        from .brief_cv2_pattern import CV2_BRIEF_PATTERN
+
+        pts = np.array(CV2_BRIEF_PATTERN, dtype=np.int32)
+        assert pts.shape == (n_pairs, 4)
+        return pts.reshape(n_pairs, 2, 2)
     rng = np.random.default_rng(seed)
     pts = []
     while len(pts) < n_pairs * 2:
@@ -77,12 +100,28 @@ def brief_pattern(n_pairs: int = 256, seed: int = 12345):
 def _ic_angle_masks():
     """Circular-region mask and (u, v) coordinate grids for IC_Angle.
 
-    OpenCV includes (u, v) iff |u| <= round(sqrt(225 - v^2)).
+    OpenCV's umax table (ORB::operator(), orb.cpp): round(sqrt(225 - v^2))
+    for |v| <= floor(15/sqrt(2)) + 1, then SYMMETRIZED for larger |v| so
+    the region is exactly mirror-equal under u<->v (the plain rounded
+    circle drops 20 rim pixels at |v| in {13,14,15} and biases the angle
+    by ~5 deg — measured against cv2 keypoint angles).
     Returns numpy (NOT jnp) so the lru_cache never captures jit tracers.
     """
+    hp = PATCH_R
+    umax = [0] * (hp + 2)
+    vmax = int(np.floor(hp * np.sqrt(2.0) / 2 + 1))
+    vmin = int(np.ceil(hp * np.sqrt(2.0) / 2))
+    for v in range(vmax + 1):
+        umax[v] = int(np.rint(np.sqrt(hp * hp - v * v)))
+    v0 = 0
+    for v in range(hp, vmin - 1, -1):
+        while umax[v0] == umax[v0 + 1]:
+            v0 += 1
+        umax[v] = v0
+        v0 += 1
+    u_max = np.array([umax[abs(v)] for v in range(-hp, hp + 1)])
     vs, us = np.mgrid[-PATCH_R:PATCH_R + 1, -PATCH_R:PATCH_R + 1]
-    u_max = np.round(np.sqrt(np.maximum(PATCH_R ** 2 - vs ** 2, 0.0)))
-    mask = np.abs(us) <= u_max
+    mask = np.abs(us) <= u_max[:, None]
     return (
         mask.astype(np.float32),
         us.astype(np.float32),
@@ -123,8 +162,12 @@ def _brief_onehots(angles):
     # rotate: x' = x cos - y sin ; y' = x sin + y cos  (per keypoint)
     rx = px[None] * ca[:, None, None] - py[None] * sa[:, None, None]
     ry = px[None] * sa[:, None, None] + py[None] * ca[:, None, None]
-    ix = jnp.round(rx).astype(jnp.int32) + PATCH_R         # (K, 256, 2)
-    iy = jnp.round(ry).astype(jnp.int32) + PATCH_R
+    # Clamp to the patch rim: a no-op for the default pattern (radius <=
+    # PATTERN_R keeps every rotation in-grid) but required for the cv2
+    # interop pattern, whose outer points can rotate past +-15 (cv2 reads
+    # the full image there; the rim pixel is the closest available value).
+    ix = jnp.clip(jnp.round(rx).astype(jnp.int32) + PATCH_R, 0, PATCH - 1)
+    iy = jnp.clip(jnp.round(ry).astype(jnp.int32) + PATCH_R, 0, PATCH - 1)
     k, s = ix.shape[0], 2 * ix.shape[1]
     grid = jnp.arange(PATCH)
     row_oh = (iy.reshape(k, s)[..., None] == grid).astype(jnp.float32)

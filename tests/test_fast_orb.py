@@ -145,3 +145,52 @@ def test_detection_topk_recall_vs_exact(gray):
         assert recall >= 0.90, f"quota={quota}: approx top-k recall {recall}"
         # everything approx selects must be a real corner
         assert got <= set(np.asarray(jnp.nonzero(rank > -jnp.inf)[0]).tolist())
+
+
+def test_cv2_brief_interop(gray):
+    """RPE_BRIEF=cv2 descriptor interop (closes the descriptor-interop gap:
+    reference src/core/pose_estimator.py:84-91 descriptors are cv2's):
+    with OpenCV's learned pattern (ops/brief_cv2_pattern.py, recovered from
+    the cv2 oracle) our descriptors cross-match against cv2-produced ones.
+    Residual bit noise: cv2 blurs uint8->uint8 (ties at +-0.5), rim points
+    past the 31x31 patch clamp, and a small tail of ambiguous angles."""
+    import os
+    from unittest import mock
+
+    from scipy.spatial import cKDTree
+
+    with mock.patch.dict(os.environ, {"RPE_BRIEF": "cv2"}):
+        ours = orb_detect_and_describe(
+            jnp.asarray(gray.astype(np.float32)), nfeatures=800,
+            nlevels=1, max_kpts=1024)
+    v = np.asarray(ours["valid"])
+    oxy = np.asarray(ours["xy"])[v]
+    oang = np.asarray(ours["angle"])[v]
+    od = np.packbits(np.asarray(ours["bits"])[v], axis=1, bitorder="little")
+
+    orb = cv2.ORB_create(nfeatures=800, nlevels=1, fastThreshold=15,
+                         scoreType=cv2.ORB_HARRIS_SCORE)
+    kps, desc = orb.detectAndCompute(gray.astype(np.uint8), None)
+    cxy = np.array([kp.pt for kp in kps])
+    cang = np.array([kp.angle for kp in kps])
+
+    d, idx = cKDTree(cxy).query(oxy, k=1)
+    m = d < 0.5
+    assert m.sum() > 250
+    # IC angles: exact cv2 umax table -> sub-0.1 deg for >= 90% of kpts
+    da = np.abs(np.angle(np.exp(1j * (oang[m] - np.deg2rad(cang[idx[m]])))))
+    assert np.degrees(np.percentile(da, 90)) < 0.1
+    # descriptor bits: high agreement on co-located keypoints
+    ham = np.array([
+        bin(int.from_bytes(bytes(od[i]), "big")
+            ^ int.from_bytes(bytes(desc[idx[i]]), "big")).count("1")
+        for i in np.nonzero(m)[0]])
+    assert (1 - ham / 256).mean() > 0.90
+    # the real interop contract: cv2's own BFMatcher cross-matches our
+    # descriptors against cv2's, geometrically consistently
+    bf = cv2.BFMatcher(cv2.NORM_HAMMING, crossCheck=True)
+    ms = bf.match(od, desc)
+    good = sum(1 for mm in ms
+               if np.hypot(*(oxy[mm.queryIdx] - cxy[mm.trainIdx])) < 2.0)
+    assert len(ms) > 300
+    assert good / len(ms) > 0.85

@@ -150,7 +150,13 @@ def _extract_t_kernel(r0, r1, r2, r3, r4, b0, b1, b2, b3, b4,
     w = jnp.concatenate([r0[:], r1[:], r2[:], r3[:], r4[:],
                          b0[:], b1[:], b2[:], b3[:], b4[:]],
                         axis=0)                              # (2*WIN, WP)
-    wt = jnp.transpose(w)                                    # (WP, 2*WIN)
+    # pad rows 80 -> 128 before transposing: Mosaic lowers f32 transposes
+    # most reliably when the resulting LANE dim is a 128-multiple (the
+    # padding lives in VMEM only and the per-slot slices below never read
+    # lanes >= 2*WIN)
+    w = jnp.concatenate(
+        [w, jnp.zeros((128 - 2 * WIN, w.shape[1]), w.dtype)], axis=0)
+    wt = jnp.transpose(w)                                    # (WP, 128)
     # 8 zero rows so the x0 = WP - 31 edge slice stays in bounds
     wt = jnp.concatenate(
         [wt, jnp.zeros((BAND, wt.shape[1]), wt.dtype)], axis=0)

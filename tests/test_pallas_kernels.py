@@ -345,12 +345,16 @@ def test_extract_windows_t_matches_direct_slices():
             np.testing.assert_array_equal(
                 blur_t[b, c, :patch, :patch].T,
                 blurred[y0:y0 + patch, x0:x0 + patch])
+            # the u/v weights are antisymmetric, so the moment sums cancel
+            # ~3800-scale terms down to ~1e2 — f32 reassociation noise is
+            # ~|terms|*eps*sqrt(n) ~ 1e0 absolute (the semantically
+            # meaningful angle-level gate lives in the end-to-end test)
             np.testing.assert_allclose(
-                m10[b, c], float(np.sum(raw * mask * us)), rtol=2e-4,
-                atol=1e-2)
+                m10[b, c], float(np.sum(raw * mask * us)), rtol=1e-3,
+                atol=2.0)
             np.testing.assert_allclose(
-                m01[b, c], float(np.sum(raw * mask * vs)), rtol=2e-4,
-                atol=1e-2)
+                m01[b, c], float(np.sum(raw * mask * vs)), rtol=1e-3,
+                atol=2.0)
 
 
 def test_steered_brief_t_bit_identical():

@@ -51,7 +51,9 @@ def test_sift_descriptor_similarity_vs_opencv(pair):
     """Descriptor-similarity oracle: mean cosine between our descriptor and
     cv2's at the same keypoint (nearest within 1 px). The histograms are
     built with deliberately vectorized (not per-keypoint-loop) binning, so
-    bit parity is not expected — measured mean cosine 0.667 on this frame;
+    bit parity is not expected — measured mean cosine 0.896 on this frame
+    after the round-3 orientation-bin direction fix (cv2's descriptor
+    gradient is y-up; ours was mirrored, cosine 0.667);
     gate guards against structural regressions (wrong orientation frame,
     broken trilinear binning land near 0)."""
     img1, _, _ = pair
@@ -72,7 +74,7 @@ def test_sift_descriptor_similarity_vs_opencv(pair):
     theirs = cvdesc[m].astype(np.float64)
     theirs /= np.linalg.norm(theirs, axis=1, keepdims=True) + 1e-12
     cos = np.sum(ours * theirs, axis=1)
-    assert cos.mean() > 0.6, f"mean descriptor cosine {cos.mean():.3f}"
+    assert cos.mean() > 0.85, f"mean descriptor cosine {cos.mean():.3f}"
 
 
 def test_sift_descriptor_normalization(pair):

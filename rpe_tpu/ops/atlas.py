@@ -286,16 +286,25 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
     pj = jnp.arange(patch)
     rel_y = _rel_y                                            # (NB, CAP)
 
+    # RPE_ONEHOT_BF16=1: materialize the one-hot operands (this stage's
+    # measured HBM bound, ~1.4 GB/image f32) in bf16. 0/1 values are exact
+    # in bf16 and jnp's promotion re-converts to f32 before the dot, so
+    # results are BIT-IDENTICAL on every backend; whether the TPU actually
+    # halves the traffic (vs materializing the f32 convert) is pending a
+    # hardware stage probe — opt-in until measured.
+    _oh_dtype = (jnp.bfloat16 if os.environ.get("RPE_ONEHOT_BF16")
+                 else jnp.float32)
+
     def per_band_chunk(wr, wb, cx0, crely):
         # wr/wb (NBC, WIN, WP); cx0/crely (NBC, CAP)
         # column one-hot: (NBC, WP, CAP*patch)
         col = (lane[None, :, None, None]
                == (cx0[:, None, :, None] + pj[None, None, None, :]))
-        col = col.astype(jnp.float32).reshape(wr.shape[0], wp, -1)
+        col = col.astype(_oh_dtype).reshape(wr.shape[0], wp, -1)
         # row one-hot: (NBC, CAP, patch, WIN)
         rowoh = (row[None, None, None, :]
                  == (crely[:, :, None, None] + pj[None, None, :, None]))
-        rowoh = rowoh.astype(jnp.float32)
+        rowoh = rowoh.astype(_oh_dtype)
 
         # One-hot selection: exactly one nonzero product per output, so
         # DEFAULT precision (bf16x3 decomposition, ~f32-exact for image

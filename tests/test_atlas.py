@@ -132,3 +132,33 @@ def test_fused_atlas_detection_equivalence():
     gxy = np.round(np.asarray(got["xy"])[np.asarray(got["valid"])]).astype(int)
     frac = np.mean([tuple(p) in rset for p in gxy])
     assert frac > 0.9
+
+
+def test_onehot_bf16_bit_identical():
+    """RPE_ONEHOT_BF16=1 (bf16 one-hot operands on the XLA extraction
+    path) must be bit-identical to the f32 default: 0/1 is exact in bf16
+    and the selection picks single f32 window values."""
+    import os
+    from unittest import mock
+
+    import jax
+
+    from rpe_tpu.ops.atlas import BAND
+
+    rng = np.random.default_rng(3)
+    ha, wp, k = 30 * BAND, 256, 60
+    atlas = jnp.asarray(rng.uniform(0, 255, (ha, wp)).astype(np.float32))
+    blur = jnp.asarray(rng.uniform(0, 255, (ha, wp)).astype(np.float32))
+    xy = jnp.asarray(np.stack([rng.integers(16, wp - 16, k),
+                               rng.integers(16, ha - 40, k)], 1)
+                     .astype(np.float32))
+    valid = jnp.asarray(np.ones(k, bool))
+    a = banded_extract(atlas, blur, xy, valid)
+    with mock.patch.dict(os.environ, {"RPE_ONEHOT_BF16": "1"}):
+        jax.clear_caches()
+        b = banded_extract(atlas, blur, xy, valid)
+    jax.clear_caches()
+    np.testing.assert_array_equal(np.asarray(a["patches_raw"]),
+                                  np.asarray(b["patches_raw"]))
+    np.testing.assert_array_equal(np.asarray(a["patches_blur"]),
+                                  np.asarray(b["patches_blur"]))

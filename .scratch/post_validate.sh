@@ -1,0 +1,18 @@
+#!/bin/bash
+# After validate_kernels_tpu.py passes: stage budget + chunk sweep with all
+# round-2/3 kernels enabled. ONE TPU process at a time — run alone.
+set -x
+cd /root/repo
+export RPE_PALLAS_5PT=1 RPE_PALLAS_EXTRACT=1 RPE_PALLAS_MATCH=1 RPE_EXTRACT_T=1
+timeout 5400 python .scratch/tpu_stage_probe.py > /tmp/stage_r3.log 2>&1
+echo "stage rc=$?"
+timeout 5400 python .scratch/tpu_chunk_sweep.py > /tmp/sweep_r3.log 2>&1
+echo "sweep rc=$?"
+# regenerate accuracy goldens on TPU (IC umax mask fix nudged descriptors):
+# simulator + salah, then copy into results/ if the summary improves/holds
+timeout 5400 python -m rpe_tpu.cli.run_simulator_data --step 15 --no-video --no-plot \
+  --results-dir /tmp/regen_sim > /tmp/regen_sim.log 2>&1
+echo "sim rc=$?"; tail -5 /tmp/regen_sim.log
+timeout 5400 python -m rpe_tpu.cli.run_vo_database_salah --no-video --no-plot \
+  --results-dir /tmp/regen_salah > /tmp/regen_salah.log 2>&1
+echo "salah rc=$?"; tail -5 /tmp/regen_salah.log

@@ -49,32 +49,54 @@ def test_sift_keypoints_agree_with_opencv(pair):
 
 def test_sift_descriptor_similarity_vs_opencv(pair):
     """Descriptor-similarity oracle: mean cosine between our descriptor and
-    cv2's at the same keypoint (nearest within 1 px). The histograms are
-    built with deliberately vectorized (not per-keypoint-loop) binning, so
-    bit parity is not expected — measured mean cosine 0.896 on this frame
-    after the round-3 orientation-bin direction fix (cv2's descriptor
-    gradient is y-up; ours was mirrored, cosine 0.667);
-    gate guards against structural regressions (wrong orientation frame,
-    broken trilinear binning land near 0)."""
+    cv2's at the same keypoint. Pairing is by position AND angle: cv2 emits
+    one keypoint per orientation peak at the same (x, y), so xy-nearest
+    alone pairs descriptors computed at different orientations (that
+    artifact capped the round-3 measurement at 0.896). For each cv2
+    keypoint, take our keypoints within 1 px and pick the closest angle;
+    keypoints whose angles agree within 5 deg (the vast majority) must
+    match at mean cosine > 0.97 — measured 0.990 after the round-3
+    descriptor-Gaussian-width fix (cv2 weighting in histogram units is
+    exp(-(c^2+r^2)/(0.5 d^2)); the previous window was ~2.6x too narrow).
+    The histograms are built with vectorized fixed-grid binning, so bit
+    parity is not expected; the gate guards against structural regressions
+    (wrong orientation frame / window geometry / trilinear binning)."""
     img1, _, _ = pair
     out = sift_detect_and_describe(jnp.asarray(img1, jnp.float32),
                                    SiftConfig(max_kpts=2048))
     v = np.asarray(out["valid"])
     xy = np.asarray(out["xy"])[v]
     desc = np.asarray(out["desc"])[v]
+    oura = np.degrees(np.asarray(out["angle"])[v]) % 360.0
 
     kps, cvdesc = cv2.SIFT_create().detectAndCompute(img1, None)
     cvxy = np.array([k.pt for k in kps])
+    cvang = np.array([k.angle for k in kps])
     from scipy.spatial import cKDTree
 
-    d, idx = cKDTree(xy).query(cvxy, k=1)
-    m = d < 1.0
-    assert m.sum() > 100
-    ours = desc[idx[m]]
+    d, idx = cKDTree(xy).query(cvxy, k=6)
+    inr = d < 1.0
+    da = np.abs((oura[idx] - cvang[:, None] + 180.0) % 360.0 - 180.0)
+    da = np.where(inr, da, np.inf)
+    best = np.argmin(da, axis=1)
+    rows = np.arange(len(cvxy))
+    m = inr[rows, best]
+    sel = idx[rows, best][m]
+    da_best = da[rows, best][m]
+
+    # our angles reproduce cv2's directly (same degree convention):
+    # measured 87% of paired keypoints within 5 deg on this frame
+    assert (da_best < 5.0).mean() > 0.8, \
+        f"angle parity {(da_best < 5.0).mean():.2f}"
+
+    ours = desc[sel]
     theirs = cvdesc[m].astype(np.float64)
     theirs /= np.linalg.norm(theirs, axis=1, keepdims=True) + 1e-12
     cos = np.sum(ours * theirs, axis=1)
-    assert cos.mean() > 0.85, f"mean descriptor cosine {cos.mean():.3f}"
+    good = da_best < 5.0
+    assert good.sum() > 100
+    assert cos[good].mean() > 0.97, \
+        f"mean descriptor cosine {cos[good].mean():.3f}"
 
 
 def test_sift_descriptor_normalization(pair):

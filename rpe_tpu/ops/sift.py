@@ -44,7 +44,7 @@ _INIT_SIGMA = 0.5      # assumed blur of the input image
 _ORI_BINS = 36
 _DESC_D = 4            # 4x4 spatial bins
 _DESC_B = 8            # 8 orientation bins
-_ORI_GRID = 16         # bilinear sample grid for orientation window
+_ORI_GRID = 24         # bilinear sample grid for orientation window
 _DESC_GRID = 24        # bilinear sample grid for descriptor window
 _EDGE_R = 10.0
 
@@ -283,7 +283,11 @@ def _orientation(gradx, grady, li, xy, scl, valid):
     mag = jnp.sqrt(vx * vx + vy * vy)
     ang = jnp.arctan2(vy, vx)  # (-pi, pi]
     r2 = gx_ ** 2 + gy_ ** 2
-    wgt = jnp.exp(-r2[None] / (2 * (1.5 / 3.0) ** 2))
+    # cv2 calcOrientationHist weights by exp(-(i^2+j^2)/(2 (1.5 scl)^2))
+    # over integer offsets within radius = 3 * 1.5 * scl; in our normalized
+    # grid units (r_px = r * radius = r * 3 sigma) the exponent is
+    # -9 r^2 / 2 (the previous -2 r^2 was 1.5x too wide a sigma)
+    wgt = jnp.exp(-4.5 * r2[None])
     wgt = wgt * (r2[None] <= 1.0)
 
     bins = jnp.floor((ang / (2 * jnp.pi) + 0.5) * _ORI_BINS).astype(jnp.int32)

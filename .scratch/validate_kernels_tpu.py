@@ -183,6 +183,57 @@ print(f"full_detect extract-T: {1000*best:.1f} ms/call -> "
       f"{1000*best/F:.3f} ms/image", flush=True)
 del os.environ["RPE_EXTRACT_T"]
 
+# ---- (3d) in-kernel steered BRIEF (RPE_EXTRACT_T_BRIEF) ----
+# Separately fenced: this kernel needs Mosaic atan2/cos/sin — if the
+# lowering rejects it, the rest of the validation (and the main PASS
+# marker) must survive. bench.py only flips RPE_EXTRACT_T_BRIEF on the
+# dedicated "T_BRIEF PASS" marker below.
+try:
+    os.environ["RPE_EXTRACT_T"] = "1"
+    os.environ["RPE_EXTRACT_T_BRIEF"] = "1"
+
+    det_tb = jax.jit(lambda im: orb_detect_and_describe(
+        im, nfeatures=4000, nlevels=12, scale_factor=1.1, max_kpts=4096))(
+            jnp.asarray(a))
+    det_tb = {k: np.asarray(v) for k, v in det_tb.items()}
+    vtb = det_tb["valid"]
+    assert (vtb == vp).all()
+    assert np.array_equal(det_tb["xy"][vtb], det_p["xy"][vp])
+    ba = (det_tb["bits"][vtb] == det_p["bits"][vp]).mean()
+    # Mosaic vs XLA transcendental ULP differences can flip a sample only
+    # when round() sits on a .5 boundary — near-1.0 expected, gate 0.999
+    print(f"extract-T-BRIEF bit-agreement vs plain kernel: {ba:.5f}",
+          flush=True)
+    assert ba > 0.999
+
+    @jax.jit
+    def s_detect_tb(imgs):
+        def one(im):
+            d = orb_detect_and_describe(im, nfeatures=4000, nlevels=12,
+                                        scale_factor=1.1, max_kpts=4096)
+            return sum(jnp.sum(v) for v in jax.tree.leaves(d))
+        return jnp.sum(jax.lax.map(one, imgs))
+
+    t0 = time.perf_counter(); float(s_detect_tb(seq))
+    print(f"detect+extract-T-BRIEF compile+run {time.perf_counter()-t0:.0f}s",
+          flush=True)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(2):
+            rr = s_detect_tb(seq)
+        float(rr)
+        best = min(best, (time.perf_counter() - t0) / 2)
+    print(f"full_detect extract-T-BRIEF: {1000*best:.1f} ms/call -> "
+          f"{1000*best/F:.3f} ms/image", flush=True)
+    print("T_BRIEF PASS", flush=True)
+except Exception as e:  # noqa: BLE001 — isolate from the main validation
+    print(f"extract-T-BRIEF FAILED (non-fatal): {type(e).__name__}: {e}",
+          flush=True)
+finally:
+    os.environ.pop("RPE_EXTRACT_T", None)
+    os.environ.pop("RPE_EXTRACT_T_BRIEF", None)
+
 # ---- (4) fused matcher: hardware bit-parity vs XLA path + timing ----
 from rpe_tpu.ops.match import hamming_distance_matrix, cross_check_match
 from rpe_tpu.ops.match_pallas import cross_check_match_fused

@@ -178,16 +178,23 @@ def _enable_validated_kernels() -> bool:
     has not compiled (CLAUDE.md hazard #5)."""
     import os
 
-    if any(os.environ.get(g) is not None for g in _GATES):
+    if any(os.environ.get(g) is not None
+           for g in _GATES + ("RPE_EXTRACT_T_BRIEF",)):
         return False  # explicit operator choice wins
     try:
         with open(_VALIDATE_LOG) as f:
-            passed = "VALIDATION PASS" in f.read()
+            log = f.read()
     except OSError:
         return False
+    passed = "VALIDATION PASS" in log
     if passed:
         for g in _GATES:
             os.environ[g] = "1"
+        # the in-kernel-BRIEF variant is fenced separately in the
+        # validation script (needs Mosaic transcendentals) and only
+        # adopted on its own marker
+        if "T_BRIEF PASS" in log:
+            os.environ["RPE_EXTRACT_T_BRIEF"] = "1"
     return passed
 
 

@@ -228,6 +228,28 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
         # a Mosaic layout divergence on the chip.
         slot_of_sorted = jnp.where(keep, flat, 0)             # (K,)
         valid_sorted = jnp.take(valid, order) & keep
+        if (os.environ.get("RPE_EXTRACT_T")
+                and os.environ.get("RPE_EXTRACT_T_BRIEF")):
+            # v3: v2 plus steered BRIEF in-kernel — descriptor patches
+            # never reach HBM and the XLA one-hot BRIEF einsum stage
+            # disappears. Bits match steered_brief_t exactly in interpret
+            # mode; on hardware, Mosaic/XLA transcendental ULP differences
+            # can flip a sample only on a round() boundary (the hardware
+            # validation gate is bit-agreement > 0.999 + pose parity).
+            from .extract_pallas import extract_windows_t_brief
+
+            bits, m10, m01 = extract_windows_t_brief(
+                atlas, blurred, tbl_x0, _rel_y, interpret=_interp)
+            return {
+                "patches_raw": None,
+                "patches_blur": None,
+                "bits": bits.reshape(nb * CAP, 256),
+                "m10": m10.reshape(nb * CAP),
+                "m01": m01.reshape(nb * CAP),
+                "slot_of_sorted": slot_of_sorted,
+                "order": order,
+                "valid_sorted": valid_sorted,
+            }
         if os.environ.get("RPE_EXTRACT_T"):
             # v2: zero-FLOP transposed extraction fed straight from the
             # atlases (no windows() materialization); moments in-kernel,

@@ -26,6 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .atlas import BAND, CAP, WIN
 
 _PP = 32          # padded patch edge (31 -> 32 lanes per keypoint slot)
+PATCH_R = 15      # orientation/descriptor patch radius (== orb.PATCH_R)
 
 
 def _extract_kernel(win_ref, x0v_ref, ry_ref, raw_ref, blur_ref):
@@ -250,6 +251,148 @@ def extract_windows_t(atlas, blurred, tbl_x0, rel_y, interpret: bool = False):
         + [tbl_x0.astype(jnp.int32), rel_y.astype(jnp.int32), mu_t, mv_t]))
     blur = blur.reshape(nb, _PP, CAP, _PP).transpose(0, 2, 1, 3)
     return blur, m10, m01
+
+
+def _extract_t_brief_kernel(r0, r1, r2, r3, r4, b0, b1, b2, b3, b4,
+                            x0_ref, ry_ref, mu_ref, mv_ref,
+                            patx_ref, paty_ref,
+                            bits_ref, m10_ref, m01_ref):
+    # v3 kernel: _extract_t_kernel + steered BRIEF in-kernel. The blurred
+    # patches never reach HBM: per slot, the IC angle is derived from the
+    # in-kernel moments, the 256-pair pattern is rotated on 256-lane
+    # vectors, and each of the two sample points is fetched with a
+    # one-hot matmul against the VMEM-resident transposed patch (exactly
+    # the contraction ops/orb.steered_brief_t runs in XLA, so the bits are
+    # the same wherever Mosaic's atan2/cos/sin/round agree with XLA's —
+    # bit-identical in interpret mode; ULP-level angle differences on
+    # hardware can flip a sample only when round() sits on a .5 boundary).
+    # patx/paty: (2, 256) f32 — pattern point j's x/y per pair lane.
+    w = jnp.concatenate([r0[:], r1[:], r2[:], r3[:], r4[:],
+                         b0[:], b1[:], b2[:], b3[:], b4[:]],
+                        axis=0)                              # (2*WIN, WP)
+    w = jnp.concatenate(
+        [w, jnp.zeros((128 - 2 * WIN, w.shape[1]), w.dtype)], axis=0)
+    wt = jnp.transpose(w)                                    # (WP, 128)
+    wt = jnp.concatenate(
+        [wt, jnp.zeros((BAND, wt.shape[1]), wt.dtype)], axis=0)
+    mu = mu_ref[:]                                           # (_PP, _PP) m.T
+    mv = mv_ref[:]
+    blurs, m10s, m01s = [], [], []
+    for c in range(CAP):
+        x0c = x0_ref[0, c]
+        ryc = ry_ref[0, c]
+        xs = jax.lax.dynamic_slice(wt, (x0c, 0), (_PP, 2 * WIN))
+        raw_t = jnp.zeros((_PP, _PP), jnp.float32)
+        blur_t = jnp.zeros((_PP, _PP), jnp.float32)
+        for r in range(BAND):
+            sel = (ryc == r).astype(jnp.float32)
+            raw_t = raw_t + sel * jax.lax.slice(
+                xs, (0, r), (_PP, r + _PP))
+            blur_t = blur_t + sel * jax.lax.slice(
+                xs, (0, WIN + r), (_PP, WIN + r + _PP))
+        blurs.append(blur_t)
+        m10s.append(jnp.sum(raw_t * mu))
+        m01s.append(jnp.sum(raw_t * mv))
+    m10v = jnp.stack(m10s)[None, :]                          # (1, CAP)
+    m01v = jnp.stack(m01s)[None, :]
+    ang = jnp.arctan2(m01v, m10v)
+    cav = jnp.cos(ang)
+    sav = jnp.sin(ang)
+
+    rows32 = jax.lax.broadcasted_iota(jnp.int32, (_PP, 256), 0)
+    bits = []
+    for c in range(CAP):
+        ca = cav[0, c]
+        sa = sav[0, c]
+        vals = []
+        for j in range(2):
+            px = patx_ref[j: j + 1, :]                       # (1, 256)
+            py = paty_ref[j: j + 1, :]
+            rx = px * ca - py * sa
+            ry_ = px * sa + py * ca
+            ix = jnp.clip(jnp.round(rx).astype(jnp.int32) + PATCH_R,
+                          0, 2 * PATCH_R)
+            iy = jnp.clip(jnp.round(ry_).astype(jnp.int32) + PATCH_R,
+                          0, 2 * PATCH_R)
+            uoh = (rows32 == ix).astype(jnp.float32)         # (_PP, 256)
+            voh = (rows32 == iy).astype(jnp.float32)
+            q = jnp.dot(blurs[c], voh,
+                        preferred_element_type=jnp.float32)  # (_PP, 256)
+            vals.append(jnp.sum(uoh * q, axis=0, keepdims=True))
+        bits.append((vals[0] < vals[1]).astype(jnp.float32))
+    bits_ref[0] = jnp.concatenate(bits, axis=0)              # (CAP, 256)
+    m10_ref[0] = jnp.stack(m10s)
+    m01_ref[0] = jnp.stack(m01s)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
+                            interpret: bool = False):
+    """Transposed extraction with IC moments AND steered BRIEF in-kernel.
+
+    Same inputs as `extract_windows_t`; returns (bits, m10, m01) with
+    bits (NB, CAP, 256) uint8 — the descriptor patches never leave VMEM.
+    The pattern is ops/orb.brief_pattern() (honors RPE_BRIEF), rotated per
+    slot by the in-kernel IC angle; the sampling contraction is the exact
+    one-hot selection of orb.steered_brief_t. Reference behavior:
+    cv2 ORB computeOrbDescriptors (src/core/pose_estimator.py:84-108)."""
+    from .orb import _ic_angle_masks, brief_pattern
+
+    ha, wp = atlas.shape
+    nb = ha // BAND
+    nq = WIN // BAND
+
+    mask_np, us_np, vs_np = _ic_angle_masks()
+    mu_t = jnp.asarray(np.pad(mask_np * us_np, ((0, 1), (0, 1))).T)
+    mv_t = jnp.asarray(np.pad(mask_np * vs_np, ((0, 1), (0, 1))).T)
+    pat = np.asarray(brief_pattern(), dtype=np.float32)      # (256, 2, 2)
+    patx = jnp.asarray(pat[:, :, 0].T.copy())                # (2, 256)
+    paty = jnp.asarray(pat[:, :, 1].T.copy())
+
+    def _block(q):
+        return pl.BlockSpec((BAND, wp),
+                            lambda b, q=q: (jnp.minimum(b + q, nb - 1), 0),
+                            memory_space=pltpu.VMEM)
+
+    bits, m10, m01 = pl.pallas_call(
+        _extract_t_brief_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, CAP, 256), jnp.float32),
+            jax.ShapeDtypeStruct((nb, CAP), jnp.float32),
+            jax.ShapeDtypeStruct((nb, CAP), jnp.float32),
+        ),
+        grid=(nb,),
+        in_specs=(
+            [_block(q) for q in range(nq)]          # raw plane, 5 blocks
+            + [_block(q) for q in range(nq)]        # blur plane, 5 blocks
+            + [
+                pl.BlockSpec((1, CAP), lambda b: (b, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, CAP), lambda b: (b, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((_PP, _PP), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_PP, _PP), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, 256), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, 256), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+        ),
+        out_specs=(
+            pl.BlockSpec((1, CAP, 256), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CAP), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CAP), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(*([atlas] * nq + [blurred] * nq
+        + [tbl_x0.astype(jnp.int32), rel_y.astype(jnp.int32),
+           mu_t, mv_t, patx, paty]))
+    return bits.astype(jnp.uint8), m10, m01
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

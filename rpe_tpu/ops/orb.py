@@ -310,7 +310,10 @@ def orb_detect_and_describe_atlas(
         angle_slots = jnp.arctan2(ext["m01"], ext["m10"])
     else:
         angle_slots = ic_angles(ext["patches_raw"])
-    if ext.get("patches_blur_t") is not None:
+    if ext.get("bits") is not None:
+        # descriptors computed in the extraction kernel (RPE_EXTRACT_T_BRIEF)
+        bits_slots = ext["bits"]
+    elif ext.get("patches_blur_t") is not None:
         # transposed patches from extract_windows_t (RPE_EXTRACT_T)
         bits_slots = steered_brief_t(ext["patches_blur_t"], angle_slots)
     else:

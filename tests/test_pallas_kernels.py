@@ -418,3 +418,76 @@ def test_extract_t_end_to_end_descriptor_parity(gray):
     ang_g = np.asarray(got["angle"])[vg]
     d = np.abs(np.angle(np.exp(1j * (ang_r - ang_g))))
     assert d.max() < 1e-3, d.max()
+
+
+def test_extract_t_brief_kernel_bit_identical():
+    """extract_windows_t_brief (v3: steered BRIEF in-kernel) vs
+    extract_windows_t + orb.steered_brief_t on the same inputs: the bits
+    and moments must be bit-identical in interpret mode (identical one-hot
+    selection contractions and identical atan2/cos/sin/round op chain)."""
+    from rpe_tpu.ops.atlas import BAND, CAP
+    from rpe_tpu.ops.extract_pallas import (extract_windows_t,
+                                            extract_windows_t_brief)
+    from rpe_tpu.ops.orb import steered_brief_t
+
+    rng = np.random.default_rng(23)
+    nb, wp, patch = 16, 256, 31
+    ha = nb * BAND
+    atlas = rng.uniform(0, 255, (ha, wp)).astype(np.float32)
+    blurred = rng.uniform(0, 255, (ha, wp)).astype(np.float32)
+    tbl_x0 = rng.integers(0, wp - patch + 1, (nb, CAP)).astype(np.int32)
+    rel_y = rng.integers(0, BAND, (nb, CAP)).astype(np.int32)
+
+    blur_t, m10, m01 = extract_windows_t(
+        jnp.asarray(atlas), jnp.asarray(blurred),
+        jnp.asarray(tbl_x0), jnp.asarray(rel_y), interpret=True)
+    angles = jnp.arctan2(m01.reshape(-1), m10.reshape(-1))
+    ref_bits = np.asarray(steered_brief_t(
+        blur_t[:, :, :patch, :patch].reshape(nb * CAP, patch, patch),
+        angles)).reshape(nb, CAP, 256)
+
+    bits, m10b, m01b = extract_windows_t_brief(
+        jnp.asarray(atlas), jnp.asarray(blurred),
+        jnp.asarray(tbl_x0), jnp.asarray(rel_y), interpret=True)
+    np.testing.assert_array_equal(np.asarray(m10b), np.asarray(m10))
+    np.testing.assert_array_equal(np.asarray(m01b), np.asarray(m01))
+    np.testing.assert_array_equal(np.asarray(bits), ref_bits)
+
+
+def test_extract_t_brief_end_to_end(gray):
+    """Full atlas ORB with RPE_EXTRACT_T_BRIEF=1 (descriptors in-kernel) vs
+    RPE_EXTRACT_T alone: identical outputs in interpret mode (the v3 kernel
+    runs the same op chain as steered_brief_t on the same moments)."""
+    import os
+    from unittest import mock
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    import rpe_tpu.ops.fast as fast_mod
+    from rpe_tpu.ops.orb import orb_detect_and_describe_atlas
+
+    img = jnp.asarray(gray[:160, :192])
+    with mock.patch.object(fast_mod, "_use_pallas", lambda: True), \
+         mock.patch.dict(os.environ, {"RPE_PALLAS_EXTRACT": "1",
+                                      "RPE_EXTRACT_T": "1",
+                                      "RPE_NO_PALLAS": ""}), \
+         pltpu.force_tpu_interpret_mode():
+        ref = orb_detect_and_describe_atlas(img, nfeatures=500, nlevels=4,
+                                            max_kpts=512)
+
+    with mock.patch.object(fast_mod, "_use_pallas", lambda: True), \
+         mock.patch.dict(os.environ, {"RPE_PALLAS_EXTRACT": "1",
+                                      "RPE_EXTRACT_T": "1",
+                                      "RPE_EXTRACT_T_BRIEF": "1",
+                                      "RPE_NO_PALLAS": ""}), \
+         pltpu.force_tpu_interpret_mode():
+        got = orb_detect_and_describe_atlas(img, nfeatures=500, nlevels=4,
+                                            max_kpts=512)
+
+    vr = np.asarray(ref["valid"])
+    np.testing.assert_array_equal(vr, np.asarray(got["valid"]))
+    assert vr.sum() > 100
+    np.testing.assert_array_equal(np.asarray(ref["bits"])[vr],
+                                  np.asarray(got["bits"])[vr])
+    np.testing.assert_array_equal(np.asarray(ref["angle"])[vr],
+                                  np.asarray(got["angle"])[vr])

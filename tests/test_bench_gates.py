@@ -1,0 +1,93 @@
+"""bench.py kernel-gate adoption: the opt-in Pallas kernels must only be
+enabled from a recorded hardware-validation PASS, never by default (the
+round-2 lesson: a kernel the real chip has not compiled must not be on the
+production path). Pure host logic — no TPU needed."""
+
+import importlib
+import os
+import sys
+from unittest import mock
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+
+
+def _bench():
+    import bench
+
+    return importlib.reload(bench)
+
+
+def _clean_env():
+    keys = ("RPE_PALLAS_5PT", "RPE_PALLAS_EXTRACT", "RPE_PALLAS_MATCH",
+            "RPE_EXTRACT_T", "RPE_EXTRACT_T_BRIEF")
+    return mock.patch.dict(os.environ, {}, clear=False), keys
+
+
+def test_no_log_no_gates(tmp_path):
+    bench = _bench()
+    patch, keys = _clean_env()
+    with patch:
+        for k in keys:
+            os.environ.pop(k, None)
+        with mock.patch.object(bench, "_VALIDATE_LOG",
+                               str(tmp_path / "absent.log")):
+            assert bench._enable_validated_kernels() is False
+        assert not any(os.environ.get(k) for k in keys)
+
+
+def test_pass_enables_gates_but_not_tbrief(tmp_path):
+    bench = _bench()
+    log = tmp_path / "v.log"
+    log.write_text("... extract-T-BRIEF FAILED (non-fatal): ...\n"
+                   "VALIDATION PASS\n")
+    patch, keys = _clean_env()
+    with patch:
+        for k in keys:
+            os.environ.pop(k, None)
+        with mock.patch.object(bench, "_VALIDATE_LOG", str(log)):
+            assert bench._enable_validated_kernels() is True
+        for k in keys[:-1]:
+            assert os.environ.get(k) == "1", k
+        # the separately-fenced kernel must NOT ride the main marker
+        assert os.environ.get("RPE_EXTRACT_T_BRIEF") is None
+
+
+def test_tbrief_marker_enables_tbrief(tmp_path):
+    bench = _bench()
+    log = tmp_path / "v.log"
+    log.write_text("T_BRIEF PASS\nVALIDATION PASS\n")
+    patch, keys = _clean_env()
+    with patch:
+        for k in keys:
+            os.environ.pop(k, None)
+        with mock.patch.object(bench, "_VALIDATE_LOG", str(log)):
+            assert bench._enable_validated_kernels() is True
+        assert os.environ.get("RPE_EXTRACT_T_BRIEF") == "1"
+
+
+def test_operator_choice_wins(tmp_path):
+    bench = _bench()
+    log = tmp_path / "v.log"
+    log.write_text("T_BRIEF PASS\nVALIDATION PASS\n")
+    patch, keys = _clean_env()
+    with patch:
+        for k in keys:
+            os.environ.pop(k, None)
+        os.environ["RPE_EXTRACT_T"] = ""  # explicit off
+        with mock.patch.object(bench, "_VALIDATE_LOG", str(log)):
+            assert bench._enable_validated_kernels() is False
+        assert os.environ.get("RPE_PALLAS_5PT") is None
+
+
+def test_partial_log_enables_nothing(tmp_path):
+    bench = _bench()
+    log = tmp_path / "v.log"
+    log.write_text("drive: ok=True ...\n5pt compile+run 120s\n"
+                   "T_BRIEF PASS\n")  # crashed before the main marker
+    patch, keys = _clean_env()
+    with patch:
+        for k in keys:
+            os.environ.pop(k, None)
+        with mock.patch.object(bench, "_VALIDATE_LOG", str(log)):
+            assert bench._enable_validated_kernels() is False
+        assert not any(os.environ.get(k) for k in keys)

@@ -253,7 +253,7 @@ def extract_windows_t(atlas, blurred, tbl_x0, rel_y, interpret: bool = False):
     return blur, m10, m01
 
 
-def _extract_t_brief_kernel(r0, r1, r2, r3, r4, b0, b1, b2, b3, b4,
+def _extract_t_brief_kernel(quant, r0, r1, r2, r3, r4, b0, b1, b2, b3, b4,
                             x0_ref, ry_ref, mu_ref, mv_ref,
                             patx_ref, paty_ref,
                             bits_ref, m10_ref, m01_ref):
@@ -318,16 +318,19 @@ def _extract_t_brief_kernel(r0, r1, r2, r3, r4, b0, b1, b2, b3, b4,
             voh = (rows32 == iy).astype(jnp.float32)
             q = jnp.dot(blurs[c], voh,
                         preferred_element_type=jnp.float32)  # (_PP, 256)
-            vals.append(jnp.sum(uoh * q, axis=0, keepdims=True))
+            v = jnp.sum(uoh * q, axis=0, keepdims=True)
+            # mirror orb._brief_bits's cv2-interop quantization (static)
+            vals.append(jnp.round(v) if quant else v)
         bits.append((vals[0] < vals[1]).astype(jnp.float32))
     bits_ref[0] = jnp.concatenate(bits, axis=0)              # (CAP, 256)
     m10_ref[0] = jnp.stack(m10s)
     m01_ref[0] = jnp.stack(m01s)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "quant"))
 def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            quant: bool | None = None):
     """Transposed extraction with IC moments AND steered BRIEF in-kernel.
 
     Same inputs as `extract_windows_t`; returns (bits, m10, m01) with
@@ -336,7 +339,18 @@ def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
     slot by the in-kernel IC angle; the sampling contraction is the exact
     one-hot selection of orb.steered_brief_t. Reference behavior:
     cv2 ORB computeOrbDescriptors (src/core/pose_estimator.py:84-108)."""
+    import os
+
     from .orb import _ic_angle_masks, brief_pattern
+
+    if quant is None:
+        # CAUTION: env-derived default is baked in at first trace (jit
+        # caches by callable identity); pass quant explicitly to override
+        # within a process.
+        q = os.environ.get("RPE_BRIEF_QUANT")
+        if q is None:
+            q = "1" if os.environ.get("RPE_BRIEF") == "cv2" else ""
+        quant = bool(q and q != "0")
 
     ha, wp = atlas.shape
     nb = ha // BAND
@@ -355,7 +369,7 @@ def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
                             memory_space=pltpu.VMEM)
 
     bits, m10, m01 = pl.pallas_call(
-        _extract_t_brief_kernel,
+        functools.partial(_extract_t_brief_kernel, quant),
         out_shape=(
             jax.ShapeDtypeStruct((nb, CAP, 256), jnp.float32),
             jax.ShapeDtypeStruct((nb, CAP), jnp.float32),

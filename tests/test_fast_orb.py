@@ -152,8 +152,11 @@ def test_cv2_brief_interop(gray):
     reference src/core/pose_estimator.py:84-91 descriptors are cv2's):
     with OpenCV's learned pattern (ops/brief_cv2_pattern.py, recovered from
     the cv2 oracle) our descriptors cross-match against cv2-produced ones.
-    Residual bit noise: cv2 blurs uint8->uint8 (ties at +-0.5), rim points
-    past the 31x31 patch clamp, and a small tail of ambiguous angles."""
+    cv2-interop mode quantizes sampled values to integers before the bit
+    compare (cv2 samples a uint8 blurred image; measured bit agreement
+    0.950 -> 0.983). Residual bit noise: blur differences crossing the
+    rounding boundary, rim points past the 31x31 patch clamp, and a small
+    tail of ambiguous angles."""
     import os
     from unittest import mock
 
@@ -185,7 +188,7 @@ def test_cv2_brief_interop(gray):
         bin(int.from_bytes(bytes(od[i]), "big")
             ^ int.from_bytes(bytes(desc[idx[i]]), "big")).count("1")
         for i in np.nonzero(m)[0]])
-    assert (1 - ham / 256).mean() > 0.90
+    assert (1 - ham / 256).mean() > 0.96
     # the real interop contract: cv2's own BFMatcher cross-matches our
     # descriptors against cv2's, geometrically consistently
     bf = cv2.BFMatcher(cv2.NORM_HAMMING, crossCheck=True)

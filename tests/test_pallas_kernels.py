@@ -453,6 +453,24 @@ def test_extract_t_brief_kernel_bit_identical():
     np.testing.assert_array_equal(np.asarray(m01b), np.asarray(m01))
     np.testing.assert_array_equal(np.asarray(bits), ref_bits)
 
+    # cv2-interop quantization mode must stay in lockstep with
+    # orb._brief_bits (jnp.round before the compare, in and out of kernel).
+    # quant is an explicit static arg on the kernel side (an env flip
+    # would NOT retrace: jax's jit cache is keyed by callable identity).
+    import os
+    from unittest import mock
+
+    with mock.patch.dict(os.environ, {"RPE_BRIEF_QUANT": "1"}):
+        ref_q = np.asarray(steered_brief_t(
+            blur_t[:, :, :patch, :patch].reshape(nb * CAP, patch, patch),
+            angles)).reshape(nb, CAP, 256)
+    bits_q, _, _ = extract_windows_t_brief(
+        jnp.asarray(atlas), jnp.asarray(blurred),
+        jnp.asarray(tbl_x0), jnp.asarray(rel_y), interpret=True,
+        quant=True)
+    assert (np.asarray(bits_q) != np.asarray(bits)).any()
+    np.testing.assert_array_equal(np.asarray(bits_q), ref_q)
+
 
 def test_extract_t_brief_end_to_end(gray):
     """Full atlas ORB with RPE_EXTRACT_T_BRIEF=1 (descriptors in-kernel) vs

@@ -4,6 +4,10 @@
 set -x
 cd /root/repo
 export RPE_PALLAS_5PT=1 RPE_PALLAS_EXTRACT=1 RPE_PALLAS_MATCH=1 RPE_EXTRACT_T=1
+# the in-kernel BRIEF variant is separately fenced in the validation run
+if grep -q "T_BRIEF PASS" /tmp/validate_kernels.log 2>/dev/null; then
+  export RPE_EXTRACT_T_BRIEF=1
+fi
 timeout 5400 python .scratch/tpu_stage_probe.py > /tmp/stage_r3.log 2>&1
 echo "stage rc=$?"
 timeout 5400 python .scratch/tpu_chunk_sweep.py > /tmp/sweep_r3.log 2>&1

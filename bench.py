@@ -144,22 +144,52 @@ def _probe_backend_subprocess(timeout_s: float = 120.0) -> bool:
         return False
 
 
-def _wait_for_backend() -> bool:
+_CHAIN_LOCK = "/tmp/rpe_chain_running"
+
+
+def _chain_lock_fresh() -> bool:
+    """True while the tunnel-recovery chain (validation / probes / golden
+    regen) holds the TPU. ONE TPU process at a time (CLAUDE.md hazard #3):
+    even a jax.devices() probe from here could wedge the chain's session,
+    so bench must idle without probing while the lock is fresh."""
+    import os
+
+    try:
+        age = time.time() - os.path.getmtime(_CHAIN_LOCK)
+    except OSError:
+        return False
+    return age < 6 * 3600  # stale-lock guard (chain crash without cleanup)
+
+
+def _wait_for_backend() -> tuple[bool, str]:
     """Bounded retry with backoff: the wedge clears after ~an hour
     (CLAUDE.md hazard #5), so probing every 5 min for RPE_BENCH_WAIT_S
-    (default 75 min) trades driver wall-clock for a captured number."""
+    (default 75 min) trades driver wall-clock for a captured number.
+    Returns (ok, reason-if-not-ok)."""
     import os
 
     budget = float(os.environ.get("RPE_BENCH_WAIT_S", "4500"))
     deadline = time.monotonic() + budget
     attempt = 0
+    reason = "backend unresponsive (tunnel wedged) after retries"
     while True:
         attempt += 1
+        if _chain_lock_fresh():
+            reason = ("recovery-chain validation holds the TPU "
+                      "(one process at a time); lock did not clear in time")
+            left = deadline - time.monotonic()
+            if left <= 0:
+                return False, reason
+            print(f"[bench] recovery chain holds the TPU; waiting "
+                  f"(up to {left / 60:.0f} more min)", file=sys.stderr)
+            time.sleep(min(120.0, left))
+            continue
         if _probe_backend_subprocess():
-            return True
+            return True, ""
+        reason = "backend unresponsive (tunnel wedged) after retries"
         left = deadline - time.monotonic()
         if left <= 0:
-            return False
+            return False, reason
         print(f"[bench] backend unresponsive (attempt {attempt}); retrying "
               f"for up to {left / 60:.0f} more min", file=sys.stderr)
         time.sleep(min(300.0, left))
@@ -199,7 +229,8 @@ def _enable_validated_kernels() -> bool:
 
 
 def main():
-    if not _wait_for_backend():
+    ok, reason = _wait_for_backend()
+    if not ok:
         # Always emit a machine-parseable line — a null value with a reason
         # beats a nonzero exit that leaves the driver artifact unparsed.
         print(json.dumps({
@@ -208,7 +239,7 @@ def main():
             "value": None,
             "unit": "pairs/s",
             "vs_baseline": None,
-            "reason": "backend unresponsive (tunnel wedged) after retries",
+            "reason": reason,
         }))
         return
     img1, img2, K = (*_load_frames(), _camera())

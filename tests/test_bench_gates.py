@@ -91,3 +91,47 @@ def test_partial_log_enables_nothing(tmp_path):
         with mock.patch.object(bench, "_VALIDATE_LOG", str(log)):
             assert bench._enable_validated_kernels() is False
         assert not any(os.environ.get(k) for k in keys)
+
+
+def test_wait_respects_chain_lock(tmp_path):
+    """While the recovery chain holds the TPU lock, bench must not probe
+    (a concurrent jax.devices() can wedge the chain's session) and must
+    time out with a machine-readable chain reason."""
+    bench = _bench()
+    lock = tmp_path / "rpe_chain_running"
+    lock.write_text("")
+    probes = []
+    with mock.patch.object(bench, "_CHAIN_LOCK", str(lock)), \
+         mock.patch.object(bench, "_probe_backend_subprocess",
+                           lambda *a, **k: probes.append(1) or True), \
+         mock.patch.dict(os.environ, {"RPE_BENCH_WAIT_S": "0.1"}):
+        ok, reason = bench._wait_for_backend()
+    assert ok is False
+    assert "recovery-chain" in reason
+    assert probes == []  # never probed while locked
+
+
+def test_wait_probes_after_lock_clears(tmp_path):
+    bench = _bench()
+    with mock.patch.object(bench, "_CHAIN_LOCK",
+                           str(tmp_path / "absent")), \
+         mock.patch.object(bench, "_probe_backend_subprocess",
+                           lambda *a, **k: True), \
+         mock.patch.dict(os.environ, {"RPE_BENCH_WAIT_S": "5"}):
+        ok, reason = bench._wait_for_backend()
+    assert ok is True
+
+
+def test_stale_chain_lock_ignored(tmp_path):
+    bench = _bench()
+    lock = tmp_path / "rpe_chain_running"
+    lock.write_text("")
+    old = 7 * 3600
+    os.utime(lock, (os.path.getmtime(lock) - old,
+                    os.path.getmtime(lock) - old))
+    with mock.patch.object(bench, "_CHAIN_LOCK", str(lock)), \
+         mock.patch.object(bench, "_probe_backend_subprocess",
+                           lambda *a, **k: True), \
+         mock.patch.dict(os.environ, {"RPE_BENCH_WAIT_S": "5"}):
+        ok, _ = bench._wait_for_backend()
+    assert ok is True

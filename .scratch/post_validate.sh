@@ -12,6 +12,11 @@ timeout 5400 python .scratch/tpu_stage_probe.py > /tmp/stage_r3.log 2>&1
 echo "stage rc=$?"
 timeout 5400 python .scratch/tpu_chunk_sweep.py > /tmp/sweep_r3.log 2>&1
 echo "sweep rc=$?"
+# XLA-path one-hot bf16 A/B (only matters when the Pallas extraction is
+# off; answers whether RPE_ONEHOT_BF16 should default on for that path)
+RPE_NO_PALLAS=1 timeout 5400 python .scratch/tpu_onehot_ab.py \
+  > /tmp/onehot_ab.log 2>&1
+echo "onehot_ab rc=$?"
 # regenerate accuracy goldens on TPU (IC umax mask fix nudged descriptors):
 # simulator + salah, then copy into results/ if the summary improves/holds
 timeout 5400 python -m rpe_tpu.cli.run_simulator_data --step 15 --no-video --no-plot \

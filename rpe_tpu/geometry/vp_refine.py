@@ -274,6 +274,196 @@ def optimize_rotation_from_vps_jit(R_init, Delta_cam, D_world,
     return R
 
 
+def _dirs_from_lines_device(segs, seg_valid, K, cfg: VpConfig):
+    """Device-resident twin of `_dirs_from_lines` (jittable).
+
+    segs: (M, 4) f32, seg_valid: (M,) bool (from
+    ops.lsd.detect_line_segments_device). Returns (Delta (3,3) f32, ok
+    bool scalar, stats dict of jnp scalars {acc_max, vp2_score,
+    num_lines}).
+
+    DOCUMENTED DEVIATION from the host twin (behavioral parity, PARITY.md):
+    when the pair count exceeds cfg.max_pairs the reference samples
+    max_pairs random line pairs (pose_estimator.py:311-318); this path
+    votes ALL pairs of the top-`max_lines` lines and rescales the
+    accumulator by the reference's expected kept-sample fraction, so
+    acc_max / vp2_score match the reference's gates in expectation with
+    strictly lower variance — and the program stays deterministic (no
+    PRNG key threading).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    segs = jnp.asarray(segs, jnp.float32)
+    seg_valid = jnp.asarray(seg_valid)
+    Kj = jnp.asarray(K, jnp.float32)
+
+    num_lines = jnp.sum(seg_valid.astype(jnp.int32))
+
+    dx = segs[:, 2] - segs[:, 0]
+    dy = segs[:, 3] - segs[:, 1]
+    lens_all = jnp.where(seg_valid, jnp.hypot(dx, dy) + 1e-9, 0.0)
+
+    L = min(int(cfg.max_lines), int(segs.shape[0]))
+    lens, order = jax.lax.top_k(lens_all, L)
+    lines = segs[order]
+    lvalid = lens > 0.0
+    angles = jnp.arctan2(dy[order], dx[order])
+
+    ones = jnp.ones((L, 1), jnp.float32)
+    p1 = jnp.concatenate([lines[:, 0:2], ones], axis=1)
+    p2 = jnp.concatenate([lines[:, 2:4], ones], axis=1)
+    hl = jnp.cross(p1, p2)
+    hl = hl / (jnp.linalg.norm(hl[:, :2], axis=1, keepdims=True) + 1e-12)
+
+    ii, jj = np.triu_indices(L, k=1)
+    ii = jnp.asarray(ii)
+    jj = jnp.asarray(jj)
+    pair_ok = lvalid[ii] & lvalid[jj]
+
+    vp = jnp.cross(hl[ii], hl[jj])
+    finite = jnp.abs(vp[:, 2]) >= 1e-9
+    vp_xy = vp[:, :2] / jnp.where(finite[:, None], vp[:, 2:3], 1.0)
+
+    theta = jnp.abs(angles[ii] - angles[jj])
+    theta = jnp.abs((theta + jnp.pi) % (2 * jnp.pi) - jnp.pi)
+    wt = lens[ii] * lens[jj] * jnp.abs(jnp.sin(2.0 * theta))
+    wt = jnp.where(pair_ok & finite, wt, 0.0)
+
+    # reference sampling-budget rescale (see docstring)
+    mv = jnp.maximum(num_lines.astype(jnp.float32), 2.0)
+    mv = jnp.minimum(mv, float(L))
+    tv = mv * (mv - 1.0) / 2.0
+    expected_kept = cfg.max_pairs * (1.0 - 1.0 / mv)
+    wt = wt * jnp.where(tv > cfg.max_pairs, expected_kept / tv, 1.0)
+
+    Kinv = jnp.linalg.inv(Kj)
+    v = jnp.concatenate([vp_xy, jnp.ones((vp_xy.shape[0], 1), jnp.float32)],
+                        axis=1) @ Kinv.T
+    v = v / (jnp.linalg.norm(v, axis=1, keepdims=True) + 1e-12)
+    v = jnp.where(v[:, 2:3] < 0, -v, v)
+
+    lat = jnp.rad2deg(jnp.arctan2(jnp.hypot(v[:, 0], v[:, 1]), v[:, 2]))
+    lon = (jnp.rad2deg(jnp.arctan2(v[:, 1], v[:, 0])) + 360.0) % 360.0
+    lat_i = jnp.clip(lat, 0, _N_LAT - 1).astype(jnp.int32)
+    lon_i = jnp.clip(lon, 0, _N_LON - 1).astype(jnp.int32)
+
+    acc = jnp.zeros((_N_LAT, _N_LON), jnp.float32).at[lat_i, lon_i].add(wt)
+    acc_max = jnp.max(acc)
+
+    amax = jnp.argmax(acc)
+    lat1 = (amax // _N_LON).astype(jnp.float32)
+    lon1 = (amax % _N_LON).astype(jnp.float32)
+    lat1r = jnp.deg2rad(lat1 + 0.5)
+    lon1r = jnp.deg2rad(lon1 + 0.5)
+    v1 = jnp.stack([jnp.sin(lat1r) * jnp.cos(lon1r),
+                    jnp.sin(lat1r) * jnp.sin(lon1r),
+                    jnp.cos(lat1r)])
+    v1 = v1 / (jnp.linalg.norm(v1) + 1e-12)
+
+    # VP2: best accumulator score on the great circle orthogonal to v1
+    ex = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+    ey = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
+    tmp = jnp.where(jnp.abs(ex @ v1) > 0.9, ey, ex)
+    a = jnp.cross(v1, tmp)
+    a = a / (jnp.linalg.norm(a) + 1e-12)
+    b = jnp.cross(v1, a)
+    b = b / (jnp.linalg.norm(b) + 1e-12)
+
+    degs = jnp.deg2rad(jnp.arange(360.0, dtype=jnp.float32))
+    cands = jnp.cos(degs)[:, None] * a + jnp.sin(degs)[:, None] * b
+    cands = cands / (jnp.linalg.norm(cands, axis=1, keepdims=True) + 1e-12)
+    ch = jnp.where(cands[:, 2:3] < 0, -cands, cands)
+    clat = jnp.rad2deg(jnp.arctan2(jnp.hypot(ch[:, 0], ch[:, 1]), ch[:, 2]))
+    clon = (jnp.rad2deg(jnp.arctan2(ch[:, 1], ch[:, 0])) + 360.0) % 360.0
+    scores = acc[jnp.clip(clat, 0, _N_LAT - 1).astype(jnp.int32),
+                 jnp.clip(clon, 0, _N_LON - 1).astype(jnp.int32)]
+    best = jnp.argmax(scores)
+    vp2_score = scores[best]
+    v2 = cands[best]
+
+    v3 = jnp.cross(v1, v2)
+    v3 = v3 / (jnp.linalg.norm(v3) + 1e-12)
+    v2 = jnp.cross(v3, v1)
+    v2 = v2 / (jnp.linalg.norm(v2) + 1e-12)
+    Delta = jnp.stack([v1, v2, v3], axis=1)
+
+    ok = (num_lines >= 10) & (acc_max > 0.0) & (vp2_score > 0.0)
+    stats = {"acc_max": acc_max, "vp2_score": vp2_score,
+             "num_lines": num_lines}
+    return Delta, ok, stats
+
+
+def estimate_manhattan_dirs_device(gray, K, cfg: VpConfig,
+                                   max_segments: int = 256):
+    """Jittable Manhattan-direction extraction (device twin of
+    `estimate_manhattan_dirs`): LSD labeling -> segment reduction ->
+    all-pairs voting, one XLA program."""
+    from ..ops.lsd import detect_line_segments_device
+
+    segs, valid = detect_line_segments_device(gray,
+                                              max_segments=max_segments)
+    return _dirs_from_lines_device(segs, valid, K, cfg)
+
+
+def vp_cost_jit(R_iw, Delta_cam, D_world):
+    """jnp twin of `vp_cost` (arctan2 form: same angle, well-conditioned
+    near 0 — see optimize_rotation_from_vps_jit)."""
+    import jax.numpy as jnp
+
+    u = R_iw @ D_world
+    s = jnp.clip(jnp.sum(Delta_cam * u, axis=0), -1.0, 1.0)
+    sin_ang = jnp.linalg.norm(jnp.cross(Delta_cam.T, u.T), axis=1)
+    return jnp.sum(jnp.arctan2(sin_ang, s))
+
+
+def refine_rotation_with_vps_device(img1, img2, R_prev, R_rel, K,
+                                    cfg: VpConfig,
+                                    max_segments: int = 256):
+    """Fully device-resident gated VP refinement (jittable end to end).
+
+    Same acceptance semantics as `refine_rotation_with_vps` (reference
+    pose_estimator.py:536-567): both frames must pass the reliability
+    gates AND the optimized cost must improve by more than
+    cost_improve_eps, else R_rel passes through unchanged. Data-dependent
+    accept/reject is a jnp.where select, so the whole thing traces into
+    one program — usable inside vmapped/sharded batch pipelines (the host
+    twin would serialize every pair on VP-heavy datasets).
+
+    Returns (R_rel_out (3,3), used (bool scalar), stats dict of jnp
+    scalars).
+    """
+    import jax.numpy as jnp
+
+    R_prev = jnp.asarray(R_prev, jnp.float32)
+    R_rel = jnp.asarray(R_rel, jnp.float32)
+    R_new_init = R_prev @ R_rel
+
+    Delta_prev, ok1, st1 = estimate_manhattan_dirs_device(
+        img1, K, cfg, max_segments=max_segments)
+    Delta_new, ok2, st2 = estimate_manhattan_dirs_device(
+        img2, K, cfg, max_segments=max_segments)
+
+    good1 = ok1 & (st1["acc_max"] >= cfg.acc_min) \
+        & (st1["vp2_score"] >= cfg.vp2_min)
+    good2 = ok2 & (st2["acc_max"] >= cfg.acc_min) \
+        & (st2["vp2_score"] >= cfg.vp2_min)
+
+    D_world = R_prev.T @ Delta_prev
+    cost_init = vp_cost_jit(R_new_init, Delta_new, D_world)
+    R_opt = optimize_rotation_from_vps_jit(R_new_init, Delta_new, D_world,
+                                           iters=cfg.iters,
+                                           lm_lambda=cfg.lm_lambda)
+    cost_opt = vp_cost_jit(R_opt, Delta_new, D_world)
+
+    used = good1 & good2 & (cost_opt < cost_init - cfg.cost_improve_eps)
+    R_out = jnp.where(used, R_prev.T @ R_opt, R_rel)
+    stats = {"prev_acc_max": st1["acc_max"], "new_acc_max": st2["acc_max"],
+             "prev_vp2": st1["vp2_score"], "new_vp2": st2["vp2_score"],
+             "cost_init": cost_init, "cost_opt": cost_opt}
+    return R_out, used, stats
+
+
 def refine_rotation_with_vps(img1, img2, R_prev, R_rel, K, cfg: VpConfig):
     """Full gated refinement (reference pose_estimator.py:536-567).
 

@@ -96,6 +96,90 @@ def detect_line_segments(gray, min_region: int = MIN_REGION,
                                 min_region, min_aspect)
 
 
+@functools.partial(jax.jit, static_argnames=("max_segments", "min_region",
+                                             "min_aspect"))
+def detect_line_segments_device(gray, max_segments: int = 256,
+                                min_region: int = MIN_REGION,
+                                min_aspect: float = MIN_ASPECT):
+    """Fully device-resident twin of `detect_line_segments` (jittable).
+
+    Static-shape output: (segs (max_segments, 4) f32, valid (max_segments,)
+    bool). Per-component statistics are computed with segment reductions
+    (scatter-add / scatter-min / scatter-max keyed by the propagated label,
+    which is a flat pixel index), so nothing leaves the device — this is
+    what lets the whole VP refinement subsystem run inside one jit program
+    (SURVEY.md §7 step 8: jit-compatible override of the reference's
+    host-side path, pose_estimator.py:159-386).
+
+    Components are the `max_segments` largest label bins by pixel count;
+    the host twin keeps every bin (np.unique), so images with more than
+    `max_segments` supported regions lose the smallest ones here — those
+    are also the shortest segments, which the voting's top-`max_lines`
+    truncation discards anyway.
+    """
+    gray = gray.astype(jnp.float32)
+    labels, _, mag = _label_regions(gray)
+    h, w = gray.shape
+    hw = h * w
+
+    maskpix = labels >= 0
+    # sentinel bin hw swallows non-region pixels
+    idx = jnp.where(maskpix, labels, hw).ravel()
+    wgt = jnp.where(maskpix, mag, 0.0).ravel()
+    x = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).ravel()
+    y = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).ravel()
+
+    def scat(vals):
+        return jnp.zeros(hw + 1, jnp.float32).at[idx].add(vals)
+
+    cnt = scat(maskpix.astype(jnp.float32).ravel())
+    sw = scat(wgt)
+    swx = scat(wgt * x)
+    swy = scat(wgt * y)
+    sw_safe = jnp.maximum(sw, 1e-12)
+    cx = swx / sw_safe
+    cy = swy / sw_safe
+
+    dxp = x - cx[idx]
+    dyp = y - cy[idx]
+    sxx = scat(wgt * dxp * dxp) / sw_safe
+    syy = scat(wgt * dyp * dyp) / sw_safe
+    sxy = scat(wgt * dxp * dyp) / sw_safe
+
+    # principal axis of the 2x2 covariance per bin (closed form, as host)
+    tr = sxx + syy
+    det = sxx * syy - sxy * sxy
+    disc = jnp.sqrt(jnp.maximum(tr * tr / 4.0 - det, 0.0))
+    l2 = tr / 2.0 - disc                        # minor eigenvalue
+    theta = 0.5 * jnp.arctan2(2.0 * sxy, sxx - syy)
+    ux = jnp.cos(theta)
+    uy = jnp.sin(theta)
+
+    # extent along the principal axis -> endpoints (second pass)
+    t = dxp * ux[idx] + dyp * uy[idx]
+    big = jnp.float32(3.4e38)
+    tmin = jnp.full(hw + 1, big, jnp.float32).at[idx].min(
+        jnp.where(maskpix.ravel(), t, big))
+    tmax = jnp.full(hw + 1, -big, jnp.float32).at[idx].max(
+        jnp.where(maskpix.ravel(), t, -big))
+
+    # the max_segments most-supported bins (bin id == label value)
+    top_cnt, top = jax.lax.top_k(cnt[:hw], max_segments)
+
+    length = tmax[top] - tmin[top]
+    width = 4.0 * jnp.sqrt(jnp.maximum(l2[top], 1e-12))
+    valid = ((top_cnt >= min_region)
+             & (length >= min_region * 0.5)
+             & (length / jnp.maximum(width, 1.0) >= min_aspect))
+
+    cxg, cyg = cx[top], cy[top]
+    uxg, uyg = ux[top], uy[top]
+    segs = jnp.stack([cxg + tmin[top] * uxg, cyg + tmin[top] * uyg,
+                      cxg + tmax[top] * uxg, cyg + tmax[top] * uyg], axis=1)
+    segs = jnp.where(valid[:, None], segs, 0.0)
+    return segs, valid
+
+
 def segments_from_labels(labels, mag_np, min_region: int = MIN_REGION,
                          min_aspect: float = MIN_ASPECT) -> np.ndarray:
     """Per-component PCA -> segments from a precomputed label/mag field.

@@ -1,0 +1,172 @@
+"""Device-resident (jittable) VP refinement path vs the host twins.
+
+Covers SURVEY.md §7 step 8's jit-compatible override end to end: LSD
+segment extraction as segment reductions (ops/lsd.py
+detect_line_segments_device), all-pairs Gaussian-sphere voting
+(geometry/vp_refine.py _dirs_from_lines_device), and the lax.scan LM —
+one XLA program with jnp.where acceptance (reference semantics
+pose_estimator.py:536-567)."""
+
+import cv2
+import jax
+import numpy as np
+import pytest
+
+from rpe_tpu.config import VpConfig
+from rpe_tpu.geometry.vp_refine import (
+    _dirs_from_lines_device,
+    _so3_exp_np,
+    estimate_manhattan_dirs_device,
+    refine_rotation_with_vps_device,
+)
+from rpe_tpu.ops.lsd import detect_line_segments, detect_line_segments_device
+
+PHONE_IMG = "/root/reference/evaluation-runs/phone-data/data/images/000000.png"
+PHONE_CAL = ("/root/reference/evaluation-runs/phone-data/data/"
+             "calibration_scaled.npz")
+
+
+@pytest.fixture(scope="module")
+def phone():
+    gray = cv2.imread(PHONE_IMG, cv2.IMREAD_GRAYSCALE)
+    K = np.load(PHONE_CAL)["K"]
+    return gray.astype(np.float32), K.astype(np.float32)
+
+
+def _match_unordered(seg_a, seg_b, tol):
+    """Endpoint-pair match irrespective of endpoint order."""
+    a1, a2 = seg_a[:2], seg_a[2:]
+    b1, b2 = seg_b[:2], seg_b[2:]
+    d_fwd = max(np.linalg.norm(a1 - b1), np.linalg.norm(a2 - b2))
+    d_rev = max(np.linalg.norm(a1 - b2), np.linalg.norm(a2 - b1))
+    return min(d_fwd, d_rev) < tol
+
+
+def test_device_segments_match_host(phone):
+    """Every host segment has a device twin with the same endpoints.
+
+    Host reduces per-component moments in f64 with np.bincount; the device
+    twin scatters in f32 — endpoint agreement gate 1.0 px."""
+    gray, _ = phone
+    host = detect_line_segments(gray)
+    segs, valid = detect_line_segments_device(gray, max_segments=512)
+    segs = np.asarray(segs)[np.asarray(valid)]
+
+    assert host.shape[0] >= 10  # scene sanity: the phone frame has lines
+    # device slot budget covers the host's component count on this frame
+    assert host.shape[0] <= 512
+    assert segs.shape[0] == host.shape[0]
+    matched = sum(
+        any(_match_unordered(h, d, tol=1.0) for d in segs) for h in host)
+    assert matched == host.shape[0], f"{matched}/{host.shape[0]} matched"
+
+
+def _manhattan_scene(rng, h=480, w=640, n_per_vp=18):
+    """Synthetic Manhattan frame: stripes converging on the three VPs of a
+    known camera rotation (all VPs finite), plus its K and R_cam."""
+    K = np.array([[520.0, 0.0, w / 2], [0.0, 520.0, h / 2], [0.0, 0.0, 1.0]],
+                 np.float32)
+    R_cam = _so3_exp_np(np.array([0.45, -0.55, 0.35]))
+    img = np.full((h, w), 30, np.uint8)
+    for axis in range(3):
+        d = R_cam @ np.eye(3)[:, axis]
+        vp = K @ d
+        assert abs(vp[2]) > 1e-3  # finite VP by construction
+        vp = vp[:2] / vp[2]
+        for _ in range(n_per_vp):
+            p = np.array([rng.uniform(0.15 * w, 0.85 * w),
+                          rng.uniform(0.15 * h, 0.85 * h)])
+            u = vp - p
+            u = u / (np.linalg.norm(u) + 1e-9)
+            half = rng.uniform(40.0, 90.0)
+            a = (p - half * u).astype(int)
+            b = (p + half * u).astype(int)
+            cv2.line(img, tuple(a), tuple(b), 225, thickness=3,
+                     lineType=cv2.LINE_AA)
+    return img.astype(np.float32), K, R_cam
+
+
+def test_device_dirs_recover_manhattan_frame(rng):
+    """Voting on device recovers the constructed camera's Manhattan
+    directions (up to column permutation/sign, as the reference's VP
+    ordering is score-based)."""
+    img, K, R_cam = _manhattan_scene(rng)
+    cfg = VpConfig(enabled=True)
+    Delta, ok, stats = jax.jit(
+        lambda g: estimate_manhattan_dirs_device(g, K, cfg))(img)
+    assert bool(ok)
+    Delta = np.asarray(Delta, np.float64)
+    # each true direction is some column of Delta up to sign
+    for axis in range(3):
+        d = R_cam @ np.eye(3)[:, axis]
+        best = max(abs(float(d @ Delta[:, j])) for j in range(3))
+        ang = np.degrees(np.arccos(min(1.0, best)))
+        assert ang < 3.0, f"axis {axis}: {ang:.2f} deg"
+
+
+def test_device_voting_matches_host_all_pairs(rng):
+    """With < 78 lines both twins vote ALL pairs (no sampling, no rescale)
+    — accumulator statistics must agree to f32 tolerance."""
+    from rpe_tpu.geometry.vp_refine import _dirs_from_lines
+
+    img, K, _ = _manhattan_scene(rng, n_per_vp=4)
+    host_lines = detect_line_segments(img)
+    m = host_lines.shape[0]
+    assert 10 <= m, "scene produced too few lines"
+    if m * (m - 1) // 2 > 3000:
+        pytest.skip("scene dense enough to trigger host sampling")
+
+    cfg = VpConfig(enabled=True)
+    D_host, ok_host, dbg_host = _dirs_from_lines(host_lines, K, cfg)
+
+    M = 256
+    segs = np.zeros((M, 4), np.float32)
+    segs[:m] = host_lines
+    valid = np.zeros(M, bool)
+    valid[:m] = True
+    D_dev, ok_dev, stats = _dirs_from_lines_device(segs, valid, K, cfg)
+
+    assert bool(ok_dev) == bool(ok_host)
+    np.testing.assert_allclose(float(stats["acc_max"]), dbg_host["acc_max"],
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(stats["vp2_score"]),
+                               dbg_host["vp2_score"], rtol=2e-4)
+    # dominant VP agrees
+    D_dev = np.asarray(D_dev, np.float64)
+    best = max(abs(float(D_dev[:, j] @ D_host[:, 0])) for j in range(3))
+    assert np.degrees(np.arccos(min(1.0, best))) < 2.0
+
+
+def test_device_refine_recovers_perturbation(rng):
+    """Same-frame pair with a perturbed R_rel: the device refinement must
+    accept (cost strictly improves) and pull R_rel back to ~identity.
+    Delta_new == Delta_prev by construction, so the LM optimum is exact
+    regardless of voting quantization."""
+    img, K, _ = _manhattan_scene(rng)
+    cfg = VpConfig(enabled=True, acc_min=0.0, vp2_min=0.0)
+    R_rel_bad = _so3_exp_np(np.array([0.03, -0.02, 0.04]))
+
+    fn = jax.jit(lambda a, b, Rp, Rr: refine_rotation_with_vps_device(
+        a, b, Rp, Rr, K, cfg))
+    R_out, used, stats = fn(img, img, np.eye(3, dtype=np.float32),
+                            R_rel_bad.astype(np.float32))
+    assert bool(used)
+    assert float(stats["cost_opt"]) < \
+        float(stats["cost_init"]) - cfg.cost_improve_eps
+    R_out = np.asarray(R_out, np.float64)
+    # orthonormal result
+    np.testing.assert_allclose(R_out @ R_out.T, np.eye(3), atol=1e-4)
+    ang = np.degrees(np.arccos(np.clip((np.trace(R_out) - 1) / 2, -1, 1)))
+    assert ang < 0.1, f"residual {ang:.3f} deg"
+
+
+def test_device_refine_passthrough_when_gated(phone):
+    """Absurd gates -> R_rel must pass through bit-unchanged (the jnp.where
+    select preserves the geometric answer exactly)."""
+    gray, K = phone
+    cfg = VpConfig(enabled=True, acc_min=1e18, vp2_min=1e18)
+    R_rel = _so3_exp_np(np.array([0.01, 0.02, -0.01])).astype(np.float32)
+    R_out, used, _ = refine_rotation_with_vps_device(
+        gray, gray, np.eye(3, dtype=np.float32), R_rel, K, cfg)
+    assert not bool(used)
+    np.testing.assert_array_equal(np.asarray(R_out), R_rel)

@@ -66,6 +66,41 @@ def manhattan_dirs_for_frames(frames, K, cfg: VpConfig):
     return out
 
 
+def manhattan_dirs_for_frames_device(frames, K, cfg: VpConfig,
+                                     max_segments: int = 256):
+    """Device twin of `manhattan_dirs_for_frames`: labeling, segment
+    reduction AND voting for a whole frame stack in ONE dispatch
+    (lax.map over frames), host work reduced to unpacking scalars.
+
+    Same list-of-(Delta | None, ok, dbg) contract. Opt-in from the batch
+    pipeline via RPE_VP_DEVICE=1 (gate statistics deviate from the host
+    twin only in the sampling regime — see _dirs_from_lines_device)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.lsd import detect_line_segments_device
+
+    frames = np.asarray(frames, dtype=np.float32)
+    Kj = jnp.asarray(K, jnp.float32)
+
+    def one(im):
+        segs, valid = detect_line_segments_device(
+            im, max_segments=max_segments)
+        D, ok, st = _dirs_from_lines_device(segs, valid, Kj, cfg)
+        return D, ok, st["acc_max"], st["vp2_score"], st["num_lines"]
+
+    D, ok, acc, vp2, nl = jax.lax.map(one, jnp.asarray(frames))
+    D, ok, acc, vp2, nl = (np.asarray(a) for a in (D, ok, acc, vp2, nl))
+    out = []
+    for f in range(frames.shape[0]):
+        dbg = {"num_lines": int(nl[f]), "acc_max": float(acc[f]),
+               "vp2_score": float(vp2[f]),
+               "lines_used": int(min(int(nl[f]), cfg.max_lines))}
+        okf = bool(ok[f])
+        out.append((np.asarray(D[f], np.float64) if okf else None, okf, dbg))
+    return out
+
+
 def estimate_manhattan_dirs(gray, K, cfg: VpConfig, rng_seed: int = 0):
     """Extract 3 orthogonal Manhattan directions (camera frame).
 

@@ -318,16 +318,27 @@ class BatchProcessor:
         if cfg.vp.enabled:
             from ..geometry.vp_refine import (
                 manhattan_dirs_for_frames,
+                manhattan_dirs_for_frames_device,
                 optimize_rotation_from_vps,
                 vp_cost,
             )
+
+            # RPE_VP_DEVICE=1: voting also on device (one dispatch per
+            # frame chunk, no per-frame host loop); gate statistics match
+            # the host twin except in the pair-sampling regime (PARITY.md
+            # VP device row), so it is opt-in until the goldens are
+            # regenerated with it.
+            import os
+
+            dirs_fn = (manhattan_dirs_for_frames_device
+                       if os.environ.get("RPE_VP_DEVICE") == "1"
+                       else manhattan_dirs_for_frames)
 
             K = np.asarray(self.pose_estimator.K, dtype=np.float64)
             stats = []
             ch = 8  # frames per labeling dispatch (bounds device memory)
             for s in range(0, len(frames), ch):
-                stats.extend(
-                    manhattan_dirs_for_frames(imgs[s:s + ch], K, cfg.vp))
+                stats.extend(dirs_fn(imgs[s:s + ch], K, cfg.vp))
 
             def reliable(entry):
                 _, ok, dbg = entry

@@ -160,6 +160,43 @@ def test_device_refine_recovers_perturbation(rng):
     assert ang < 0.1, f"residual {ang:.3f} deg"
 
 
+def test_batched_device_dirs_contract_and_gate_agreement(phone, rng):
+    """manhattan_dirs_for_frames_device returns the host contract
+    (Delta | None, ok, dbg) and agrees with the host twin on the
+    reliability DECISION for real frames (default gates) and for a strong
+    synthetic Manhattan scene (permissive gates)."""
+    from rpe_tpu.geometry.vp_refine import (
+        manhattan_dirs_for_frames,
+        manhattan_dirs_for_frames_device,
+    )
+
+    gray, K = phone
+    scene, Ks, _ = _manhattan_scene(rng)
+    cfg = VpConfig(enabled=True)
+
+    def reliable(entry, c):
+        _, ok, dbg = entry
+        return (ok and dbg.get("acc_max", 0.0) >= c.acc_min
+                and dbg.get("vp2_score", 0.0) >= c.vp2_min)
+
+    # real frame, default (strict) gates
+    host = manhattan_dirs_for_frames(gray[None], K, cfg)
+    dev = manhattan_dirs_for_frames_device(gray[None], K, cfg)
+    assert len(dev) == 1 and len(dev[0]) == 3
+    assert dev[0][1] == host[0][1]  # extraction ok flag
+    assert reliable(dev[0], cfg) == reliable(host[0], cfg)
+
+    # synthetic scene, permissive gates: both must pass
+    cfg0 = VpConfig(enabled=True, acc_min=0.0, vp2_min=0.0)
+    host_s = manhattan_dirs_for_frames(scene[None], Ks, cfg0)
+    dev_s = manhattan_dirs_for_frames_device(scene[None], Ks, cfg0)
+    assert reliable(dev_s[0], cfg0) and reliable(host_s[0], cfg0)
+    # dominant direction agreement between the twins
+    Dh, Dd = host_s[0][0], dev_s[0][0]
+    best = max(abs(float(Dd[:, j] @ Dh[:, 0])) for j in range(3))
+    assert np.degrees(np.arccos(min(1.0, best))) < 2.0
+
+
 def test_device_refine_passthrough_when_gated(phone):
     """Absurd gates -> R_rel must pass through bit-unchanged (the jnp.where
     select preserves the geometric answer exactly)."""

@@ -134,9 +134,16 @@ def main(argv=None):
         estimator.config,
         ransac=dataclasses.replace(estimator.config.ransac,
                                    solver=args.solver))
+    # frames are remapped to positions 0..N-1 below, so the checkpoint
+    # needs the dataset slice identity in its hash (which files, in which
+    # order) — otherwise a rerun with a different --step/--max-frames/
+    # --images-dir would silently resume foreign poses.
+    salt = "|".join([str(images_dir.resolve()), f"step={args.step}"]
+                    + [p.name for p in paths])
     proc = BatchProcessor(images_dir, estimator, None,
                           chunk=args.chunk, mesh=make_mesh(args.devices),
-                          checkpoint_path=args.checkpoint)
+                          checkpoint_path=args.checkpoint,
+                          checkpoint_salt=salt)
     frames = list(range(len(paths)))
     R_rel, t_rel, valid, num_matches = proc.estimate_relative_poses(
         frames, imgs)

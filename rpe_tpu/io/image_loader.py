@@ -62,7 +62,11 @@ class LazyFrameSource:
     H2D) between dispatching chunk c and blocking on its outputs, so decode
     rides behind device compute. The cache keeps the last ~2 chunks of
     frames so the one-frame overlap between consecutive sequence chunks
-    (and VP's second pass over the same frames) never re-decodes.
+    never re-decodes. NOTE: a second full sweep over the sequence (the
+    VP-enabled path re-walks all frames after estimation) re-decodes
+    frames older than the cache window — that pass costs one extra decode
+    per frame on sequences longer than cache_frames, the price of keeping
+    host RAM O(chunk) instead of O(sequence).
 
     Indexable like the eager array for the read patterns batch.py uses:
     `src[list_or_2d_index_array]` -> float32 (.., H, W).

@@ -133,24 +133,31 @@ def extract_windows_moments(win_raw, win_blur, tbl_x0, rel_y,
     return blur, m10, m01
 
 
-def _extract_t_kernel(r0, r1, r2, r3, r4, b0, b1, b2, b3, b4,
-                      x0_ref, ry_ref, mu_ref, mv_ref,
-                      blur_ref, m10_ref, m01_ref):
-    # v2 kernel: NO one-hot matmul at all. The band window is rebuilt from
-    # five overlapping (BAND, WP) atlas blocks per plane (the XLA-side
-    # windows() materialization disappears), transposed ONCE in VMEM, and
-    # each keypoint slot is served by a dynamic *sublane* slice at its
-    # column start plus an 8-way masked accumulate over its in-band row
-    # offset. This removes the 57 GFLOP/image selection-matmul floor of
-    # _extract_kernel (docs/PERF_LOG.md roofline, "banded extraction" row);
-    # what remains is pure VPU data movement on 32x32 tiles.
-    #
-    # Patches are produced TRANSPOSED ([u, v] = [x, y]) — consumers use
-    # ops/orb.steered_brief_t / transposed moment masks, selecting the
-    # exact same values (bit-identical descriptors).
-    w = jnp.concatenate([r0[:], r1[:], r2[:], r3[:], r4[:],
-                         b0[:], b1[:], b2[:], b3[:], b4[:]],
-                        axis=0)                              # (2*WIN, WP)
+def _t_extract_slots(planes, x0_ref, ry_ref, mu_ref, mv_ref):
+    """Shared transposed-extraction body of _extract_t_kernel and
+    _extract_t_brief_kernel (kept in ONE place: this is the trickiest
+    VMEM-layout code in the repo — pad-to-128 before the transpose, edge
+    zero rows, per-slot dynamic sublane slice + 8-way masked accumulate —
+    and the two kernels must stay provably identical on it).
+
+    v2 layout: NO one-hot matmul at all. The band window is rebuilt from
+    five overlapping (BAND, WP) atlas blocks per plane (the XLA-side
+    windows() materialization disappears), transposed ONCE in VMEM, and
+    each keypoint slot is served by a dynamic *sublane* slice at its
+    column start plus an 8-way masked accumulate over its in-band row
+    offset. This removes the 57 GFLOP/image selection-matmul floor of
+    _extract_kernel (docs/PERF_LOG.md roofline, "banded extraction" row);
+    what remains is pure VPU data movement on 32x32 tiles.
+
+    Patches are produced TRANSPOSED ([u, v] = [x, y]) — consumers use
+    ops/orb.steered_brief_t / transposed moment masks, selecting the
+    exact same values (bit-identical descriptors).
+
+    planes: the 10 (BAND, WP) refs (5 raw + 5 blur blocks). Returns
+    (blurs, m10s, m01s): CAP-length lists of (_PP, _PP) transposed blurred
+    patches and raw-patch IC moment scalars.
+    """
+    w = jnp.concatenate([p[:] for p in planes], axis=0)      # (2*WIN, WP)
     # pad rows 80 -> 128 before transposing: Mosaic lowers f32 transposes
     # most reliably when the resulting LANE dim is a 128-multiple (the
     # padding lives in VMEM only and the per-slot slices below never read
@@ -181,6 +188,17 @@ def _extract_t_kernel(r0, r1, r2, r3, r4, b0, b1, b2, b3, b4,
         blurs.append(blur_t)
         m10s.append(jnp.sum(raw_t * mu))
         m01s.append(jnp.sum(raw_t * mv))
+    return blurs, m10s, m01s
+
+
+def _extract_t_kernel(r0, r1, r2, r3, r4, b0, b1, b2, b3, b4,
+                      x0_ref, ry_ref, mu_ref, mv_ref,
+                      blur_ref, m10_ref, m01_ref):
+    # v2 kernel: transposed extraction + in-kernel IC moments (see
+    # _t_extract_slots for the layout details).
+    blurs, m10s, m01s = _t_extract_slots(
+        (r0, r1, r2, r3, r4, b0, b1, b2, b3, b4),
+        x0_ref, ry_ref, mu_ref, mv_ref)
     blur_ref[0] = jnp.concatenate(blurs, axis=1)
     m10_ref[0] = jnp.stack(m10s)
     m01_ref[0] = jnp.stack(m01s)
@@ -267,32 +285,9 @@ def _extract_t_brief_kernel(quant, r0, r1, r2, r3, r4, b0, b1, b2, b3, b4,
     # bit-identical in interpret mode; ULP-level angle differences on
     # hardware can flip a sample only when round() sits on a .5 boundary).
     # patx/paty: (2, 256) f32 — pattern point j's x/y per pair lane.
-    w = jnp.concatenate([r0[:], r1[:], r2[:], r3[:], r4[:],
-                         b0[:], b1[:], b2[:], b3[:], b4[:]],
-                        axis=0)                              # (2*WIN, WP)
-    w = jnp.concatenate(
-        [w, jnp.zeros((128 - 2 * WIN, w.shape[1]), w.dtype)], axis=0)
-    wt = jnp.transpose(w)                                    # (WP, 128)
-    wt = jnp.concatenate(
-        [wt, jnp.zeros((BAND, wt.shape[1]), wt.dtype)], axis=0)
-    mu = mu_ref[:]                                           # (_PP, _PP) m.T
-    mv = mv_ref[:]
-    blurs, m10s, m01s = [], [], []
-    for c in range(CAP):
-        x0c = x0_ref[0, c]
-        ryc = ry_ref[0, c]
-        xs = jax.lax.dynamic_slice(wt, (x0c, 0), (_PP, 2 * WIN))
-        raw_t = jnp.zeros((_PP, _PP), jnp.float32)
-        blur_t = jnp.zeros((_PP, _PP), jnp.float32)
-        for r in range(BAND):
-            sel = (ryc == r).astype(jnp.float32)
-            raw_t = raw_t + sel * jax.lax.slice(
-                xs, (0, r), (_PP, r + _PP))
-            blur_t = blur_t + sel * jax.lax.slice(
-                xs, (0, WIN + r), (_PP, WIN + r + _PP))
-        blurs.append(blur_t)
-        m10s.append(jnp.sum(raw_t * mu))
-        m01s.append(jnp.sum(raw_t * mv))
+    blurs, m10s, m01s = _t_extract_slots(
+        (r0, r1, r2, r3, r4, b0, b1, b2, b3, b4),
+        x0_ref, ry_ref, mu_ref, mv_ref)
     m10v = jnp.stack(m10s)[None, :]                          # (1, CAP)
     m01v = jnp.stack(m01s)[None, :]
     ang = jnp.arctan2(m01v, m10v)

@@ -175,18 +175,24 @@ def _brief_onehots(angles):
     return row_oh, col_oh
 
 
-def _brief_bits(vals):
+def _brief_bits(vals, quant: bool | None = None):
+    """quant=None reads the env gates — NOTE this happens at TRACE time
+    (jit cache is keyed by callable identity, CLAUDE.md perf rule #7), so
+    per-call control must pass `quant` explicitly, same contract as
+    extract_windows_t_brief's `quant`."""
     import os
 
     k, s = vals.shape
-    quant = os.environ.get("RPE_BRIEF_QUANT")
     if quant is None:
-        # default: quantize in cv2-interop mode (OpenCV samples a uint8
-        # blurred image, so its bit comparisons happen on QUANTIZED
-        # values — near-tie comparisons of our f32 blur are coin flips
-        # against cv2's deterministic ones)
-        quant = "1" if os.environ.get("RPE_BRIEF") == "cv2" else ""
-    if quant and quant != "0":
+        q = os.environ.get("RPE_BRIEF_QUANT")
+        if q is None:
+            # default: quantize in cv2-interop mode (OpenCV samples a
+            # uint8 blurred image, so its bit comparisons happen on
+            # QUANTIZED values — near-tie comparisons of our f32 blur are
+            # coin flips against cv2's deterministic ones)
+            q = "1" if os.environ.get("RPE_BRIEF") == "cv2" else ""
+        quant = bool(q) and q != "0"
+    if quant:
         # round the way saturate_cast does (half-to-even == jnp.round).
         # Measured on the interop frame: descriptor bit agreement vs cv2
         # 0.950 -> 0.983 (BFMatcher geometric consistency unchanged at
@@ -196,11 +202,12 @@ def _brief_bits(vals):
     return (vals[..., 0] < vals[..., 1]).astype(jnp.uint8)
 
 
-def steered_brief(patches_blur, angles):
+def steered_brief(patches_blur, angles, quant: bool | None = None):
     """Rotated-pattern BRIEF bits.
 
     patches_blur: (K, PATCH, PATCH) from the Gaussian-blurred level.
-    angles: (K,) radians. Returns (K, 256) uint8 bits.
+    angles: (K,) radians. quant: see _brief_bits (None = env at trace
+    time). Returns (K, 256) uint8 bits.
 
     Sampling the 512 rotated pattern points is expressed as two one-hot
     contractions on the MXU (sample = rowOH . patch . colOH) instead of the
@@ -212,10 +219,10 @@ def steered_brief(patches_blur, angles):
     tmp = jnp.einsum("ksy,kyx->ksx", row_oh, patches_blur,
                      preferred_element_type=jnp.float32)     # (K, S, P)
     vals = jnp.sum(tmp * col_oh, axis=-1)                    # (K, S)
-    return _brief_bits(vals)
+    return _brief_bits(vals, quant=quant)
 
 
-def steered_brief_t(patches_blur_t, angles):
+def steered_brief_t(patches_blur_t, angles, quant: bool | None = None):
     """steered_brief for TRANSPOSED patches (patch[u, v], u = x, v = y) as
     produced by ops/extract_pallas.extract_windows_t. Selects the exact
     same scalar per sample point (one-hot selection is exact in every
@@ -225,7 +232,7 @@ def steered_brief_t(patches_blur_t, angles):
     tmp = jnp.einsum("ksx,kxy->ksy", col_oh, patches_blur_t,
                      preferred_element_type=jnp.float32)     # (K, S, P)
     vals = jnp.sum(tmp * row_oh, axis=-1)                    # (K, S)
-    return _brief_bits(vals)
+    return _brief_bits(vals, quant=quant)
 
 
 @functools.lru_cache(maxsize=None)

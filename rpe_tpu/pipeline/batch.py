@@ -29,21 +29,32 @@ from ..io.image_loader import LazyFrameSource
 from .estimator import estimate_sequence_batched
 
 
-def _sequence_blocks(sel1, local, n_dev):
+def _sequence_blocks(sel1, local, n_dev, last_frame_pos):
     """Per-device consecutive frame blocks for a padded pair chunk.
 
     sel1: chunk pair-start frame indices (padding repeats the last real
       index). Device d covers pairs [d*local, (d+1)*local): its block is
-      those pairs' start frames plus the final pair's end frame — local+1
-      consecutive frames per device, so a chunk stages chunk + n_dev frame
-      slots instead of the 2*chunk the replicated-pairs layout cost.
-    Returns (n_dev, local+1) int array of frame indices.
+      local+1 consecutive frame positions starting at its FIRST pair's
+      start frame, so a chunk stages chunk + n_dev frame slots instead of
+      the 2*chunk the replicated-pairs layout cost.
+
+    Each block is rebuilt consecutively from sel1[d*local] rather than
+    copied element-wise from sel1: real pairs form a consecutive prefix of
+    the chunk, so this keeps every real pair p at flat slot p computing
+    (sel1[p], sel1[p]+1) even in a padded chunk. (Copying sel1 verbatim
+    put the repeated-pad indices INSIDE the boundary device's block and
+    shifted its real pairs onto same-frame degenerate slots — the last
+    real pair of almost every mesh run's final chunk came back invalid.)
+    Positions are clamped to last_frame_pos, so pad slots beyond the
+    sequence become same-frame pairs — discarded by the caller.
+
+    Returns (n_dev, local+1) int array of frame positions.
     """
     blocks = np.empty((n_dev, local + 1), dtype=np.int64)
     for d in range(n_dev):
-        for j in range(local):
-            blocks[d, j] = sel1[d * local + j]
-        blocks[d, local] = sel1[d * local + local - 1] + 1
+        s = sel1[d * local]
+        for j in range(local + 1):
+            blocks[d, j] = min(s + j, last_frame_pos)
     return blocks
 
 
@@ -60,7 +71,7 @@ class BatchProcessor:
     def __init__(self, images_dir, pose_estimator, ground_truth_loader,
                  euler_convention: str = "yup", chunk: int = 8,
                  mesh=None, strict: bool = False, seed: int = 0,
-                 checkpoint_path=None):
+                 checkpoint_path=None, checkpoint_salt: str = ""):
         self.images_dir = Path(images_dir)
         self.pose_estimator = pose_estimator
         self.gt_loader = ground_truth_loader
@@ -73,6 +84,13 @@ class BatchProcessor:
         # results appended as jsonl after every chunk; a restarted run skips
         # already-computed pairs. The reference recomputes everything.
         self.checkpoint_path = Path(checkpoint_path) if checkpoint_path else None
+        # Extra identity for the checkpoint hash. Callers that remap frame
+        # ids to positions 0..N-1 (cli/run_kitti_sequence.py) MUST pass the
+        # dataset identity here: with positional frames, the per-record
+        # frame ids match trivially across different --step/--images-dir
+        # slices, so only the header hash protects against silently
+        # resuming poses computed on different image pairs.
+        self.checkpoint_salt = checkpoint_salt
 
     def get_image_path(self, frame_idx):
         """{idx:06d}.png path (reference batch_processor.py:131-141)."""
@@ -87,7 +105,8 @@ class BatchProcessor:
 
         K = np.asarray(self.pose_estimator.K, dtype=np.float64)
         payload = (f"{self.pose_estimator.config!r}|{K.tobytes().hex()}|"
-                   f"{self.seed}|{self.euler_convention}")
+                   f"{self.seed}|{self.euler_convention}|"
+                   f"{self.checkpoint_salt}")
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
     def _estimate_all_pairs(self, frames, imgs):
@@ -143,7 +162,7 @@ class BatchProcessor:
                 # sequence-batching win (~1.6x) carried onto the mesh.
                 n_dev = self.mesh.devices.size
                 local = chunk // n_dev
-                blocks = _sequence_blocks(sel1, local, n_dev)
+                blocks = _sequence_blocks(sel1, local, n_dev, n_pairs)
                 fblk = jnp.asarray(imgs[blocks])      # (n_dev, local+1, H, W)
                 kblk = jnp.asarray(keys).reshape(n_dev, local, -1)
                 arrs = (jax.device_put(fblk, shard), K,
@@ -338,7 +357,17 @@ class BatchProcessor:
             stats = []
             ch = 8  # frames per labeling dispatch (bounds device memory)
             for s in range(0, len(frames), ch):
-                stats.extend(dirs_fn(imgs[s:s + ch], K, cfg.vp))
+                blk = np.asarray(imgs[s:s + ch])
+                pad = ch - blk.shape[0]
+                if pad:
+                    # pad the remainder to the chunk shape: the labeling /
+                    # voting programs are lax.map'ed and shape-keyed, and
+                    # a remote compile costs minutes per program shape
+                    # (CLAUDE.md hazard #4) — one shape, one compile
+                    blk = np.concatenate(
+                        [blk, np.repeat(blk[-1:], pad, axis=0)])
+                got = dirs_fn(blk, K, cfg.vp)
+                stats.extend(got[:ch - pad] if pad else got)
 
             def reliable(entry):
                 _, ok, dbg = entry

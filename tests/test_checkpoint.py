@@ -95,3 +95,29 @@ def test_checkpoint_ignores_stale_frames(processor_factory):
     bp2 = make(ckpt)
     r = bp2.process_sequence([45, 60, 75])
     assert len(r["frames"]) == 2
+
+
+def test_checkpoint_salt_isolates_dataset_slices(processor_factory):
+    """checkpoint_salt (the KITTI runner's dataset-slice identity) must be
+    part of the config hash: positional frame ids match trivially across
+    different --step/--images-dir slices, so without the salt a rerun
+    would silently resume foreign poses (round-3 self-review finding)."""
+    make, ckpt = processor_factory
+    frames = [0, 15, 30]
+    bp1 = make(ckpt)
+    bp1.checkpoint_salt = "images-A|step=1"
+    bp1.process_sequence(frames)
+
+    bp2 = make(ckpt)
+    bp2.checkpoint_salt = "images-B|step=2"
+    calls = []
+    import rpe_tpu.pipeline.batch as batch_mod
+
+    orig = batch_mod.estimate_sequence_batched
+    batch_mod.estimate_sequence_batched = (
+        lambda *a, **k: calls.append(1) or orig(*a, **k))
+    try:
+        bp2.process_sequence(frames)
+    finally:
+        batch_mod.estimate_sequence_batched = orig
+    assert calls, "different-salt checkpoint must force recomputation"

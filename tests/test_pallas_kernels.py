@@ -174,23 +174,14 @@ def test_five_point_fused_solve_matches_xla():
             n_checked += 1
     assert n_checked >= 3 * B  # synthetic minimal problems have many roots
 
-    # XLA-path roots are reproduced: compare via z (tan of polished root)
-    import os
-    os.environ["RPE_NO_PALLAS_5PT"] = "1"
-    try:
-        from rpe_tpu.geometry import five_point as fp
-
-        null4 = None  # recompute the XLA path pieces directly
-        # reuse five_point internals on the same coeffs: emulate by running
-        # the public solver on the same coeffs is not possible (it rebuilds
-        # coeffs from points), so check chart consistency instead: z from
-        # the kernel in the affine frame
-        z_kernel = np.where(flip, 1.0 / np.where(np.abs(rv) > 1e-12, rv, 1.0),
-                            rv)
-        # all valid roots must lie inside the tan-grid coverage
-        assert np.all(np.abs(z_kernel[has]) < 1.2e3)
-    finally:
-        os.environ.pop("RPE_NO_PALLAS_5PT", None)
+    # chart consistency with the XLA path's tan-grid coverage: z (tan of
+    # the polished root) in the affine frame must lie inside the grid the
+    # XLA formulation scans — no env gating needed, this is a pure check
+    # on the kernel's outputs (the old RPE_NO_PALLAS_5PT dance here was
+    # dead residue of the pre-opt-in gating and forced nothing)
+    z_kernel = np.where(flip, 1.0 / np.where(np.abs(rv) > 1e-12, rv, 1.0),
+                        rv)
+    assert np.all(np.abs(z_kernel[has]) < 1.2e3)
 
 
 def test_extract_windows_kernel_matches_direct_slices():

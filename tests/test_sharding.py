@@ -97,7 +97,7 @@ def test_sequence_blocks_cover_chunk_with_one_overlap_frame():
     n_dev, local = 4, 3
     chunk = n_dev * local
     sel1 = list(range(10, 10 + chunk))  # no padding
-    blocks = _sequence_blocks(sel1, local, n_dev)
+    blocks = _sequence_blocks(sel1, local, n_dev, last_frame_pos=1000)
     assert blocks.shape == (n_dev, local + 1)
     # consecutive within each device
     assert (np.diff(blocks, axis=1) == 1).all()
@@ -108,12 +108,43 @@ def test_sequence_blocks_cover_chunk_with_one_overlap_frame():
     # frame-slot accounting: chunk + n_dev slots vs 2*chunk duplicated
     assert blocks.size == chunk + n_dev < 2 * chunk
 
-    # padded tail: real pairs still covered, pad pairs are same-frame
-    sel1p = [10, 11, 12] + [12] * 9
-    blocksp = _sequence_blocks(sel1p, local, n_dev)
-    coveredp = {(int(blocksp[d, j]), int(blocksp[d, j + 1]))
-                for d in range(n_dev) for j in range(local)}
-    assert {(10, 11), (11, 12), (12, 13)} <= coveredp
+
+def test_sequence_blocks_padded_chunk_keeps_real_pairs_at_flat_slots():
+    """POSITIONAL contract on padded chunks: real pair p must sit at flat
+    slot p computing (sel1[p], sel1[p]+1). The original element-wise copy
+    of sel1 put pad repeats inside the boundary device's block, shifting
+    the last real pair onto a same-frame degenerate slot (found in the
+    round-3 self-review; consumer slices out[:n] by flat position,
+    pipeline/batch.py)."""
+    from rpe_tpu.pipeline.batch import _sequence_blocks
+
+    def flat_pairs(blocks, n_dev, local):
+        return [(int(blocks[d, j]), int(blocks[d, j + 1]))
+                for d in range(n_dev) for j in range(local)]
+
+    # the reviewer scenario: 101 pairs, chunk 32, 8 devices -> last chunk
+    # has 5 real pairs and the boundary device (d=1) is mixed real/pad
+    n_dev, local, n_pairs = 8, 4, 101
+    chunk = n_dev * local
+    idx = list(range(96, 101))
+    sel1 = idx + [idx[-1]] * (chunk - len(idx))
+    blocks = _sequence_blocks(sel1, local, n_dev, last_frame_pos=n_pairs)
+    pairs = flat_pairs(blocks, n_dev, local)
+    for p, want in enumerate(idx):
+        assert pairs[p] == (want, want + 1), (p, pairs[p])
+    # pad slots never index past the final frame position
+    assert blocks.max() <= n_pairs
+    # exhaustive sweep over real-pair counts and boundary alignments
+    for n_real in range(1, chunk + 1):
+        start = n_pairs - n_real
+        idx = list(range(start, n_pairs))
+        sel1 = idx + [idx[-1]] * (chunk - n_real)
+        blocks = _sequence_blocks(sel1, local, n_dev,
+                                  last_frame_pos=n_pairs)
+        pairs = flat_pairs(blocks, n_dev, local)
+        assert blocks.max() <= n_pairs
+        for p, want in enumerate(idx):
+            assert pairs[p] == (want, want + 1), (n_real, p, pairs[p])
 
 
 def test_sequence_sharded_matches_unsharded(rng):

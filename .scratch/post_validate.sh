@@ -1,13 +1,20 @@
 #!/bin/bash
-# After validate_kernels_tpu.py passes: stage budget + chunk sweep with all
-# round-2/3 kernels enabled. ONE TPU process at a time — run alone.
+# After validate_kernels_tpu.py: stage budget + chunk sweep + golden regen
+# with exactly the kernels whose per-section PASS markers are on record
+# (v2 markers; "VALIDATION PASS" = all core sections green).
+# ONE TPU process at a time — run alone.
 set -x
 cd /root/repo
-export RPE_PALLAS_5PT=1 RPE_PALLAS_EXTRACT=1 RPE_PALLAS_MATCH=1 RPE_EXTRACT_T=1
-# the in-kernel BRIEF variant is separately fenced in the validation run
-if grep -q "T_BRIEF PASS" /tmp/validate_kernels.log 2>/dev/null; then
+LOG=/tmp/validate_kernels.log
+grep -q "^5PT PASS" "$LOG" 2>/dev/null && export RPE_PALLAS_5PT=1
+grep -q "^EXTRACT PASS" "$LOG" 2>/dev/null && export RPE_PALLAS_EXTRACT=1
+grep -q "^EXTRACT_T PASS" "$LOG" 2>/dev/null && export RPE_EXTRACT_T=1
+grep -q "^MATCH PASS" "$LOG" 2>/dev/null && export RPE_PALLAS_MATCH=1
+if [ -n "$RPE_EXTRACT_T" ] && grep -q "^T_BRIEF PASS" "$LOG" 2>/dev/null; then
   export RPE_EXTRACT_T_BRIEF=1
 fi
+env | grep RPE_
+
 timeout 5400 python .scratch/tpu_stage_probe.py > /tmp/stage_r3.log 2>&1
 echo "stage rc=$?"
 timeout 5400 python .scratch/tpu_chunk_sweep.py > /tmp/sweep_r3.log 2>&1

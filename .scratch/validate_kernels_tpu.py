@@ -1,324 +1,317 @@
-"""Post-wedge validation of the two new kernels on the real TPU, one
-process: (1) 5pt fused-solve drive (accuracy), (2) RANSAC timing,
-(3) detect timing with the Pallas extraction."""
-import sys, time
+"""Post-wedge validation of the opt-in Pallas kernels on the real TPU,
+one process, one section per kernel family.
+
+v2 (late round 3): sections are INDEPENDENT and each prints its own
+"<NAME> PASS" marker the moment its parity+timing checks clear, so a
+late tunnel recovery that runs out of round budget mid-script still
+leaves a usable record — bench.py adopts exactly the per-kernel gates
+whose markers are on record (all-or-nothing "VALIDATION PASS" remains
+as the every-kernel summary marker). Env gates are managed per section
+with FRESH jax.jit wrappers (env reads bake at trace time — CLAUDE.md
+perf rule; orb_detect_and_describe is not internally jitted, so a fresh
+wrapper re-traces).
+
+Do NOT export RPE_PALLAS_* into this script's environment; it sets and
+clears its own gates.
+"""
+import os
+import sys
+import time
+
 sys.path.insert(0, "/root/repo")
-import numpy as np, jax, jax.numpy as jnp
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+for _g in ("RPE_PALLAS_5PT", "RPE_PALLAS_EXTRACT", "RPE_PALLAS_MATCH",
+           "RPE_EXTRACT_T", "RPE_EXTRACT_T_BRIEF", "RPE_EXTRACT_MOMENTS"):
+    os.environ.pop(_g, None)
+
+# RPE_VALIDATE_SMOKE=1: tiny shapes on the CPU backend — exercises every
+# section's plumbing (env dance, parity fns, timers, markers) without a
+# TPU. The Pallas gates no-op on CPU, so parity checks compare XLA vs XLA
+# (trivially exact); the point is that the script itself cannot rot.
+SMOKE = os.environ.get("RPE_VALIDATE_SMOKE") == "1"
+if SMOKE:
+    jax.config.update("jax_platforms", "cpu")
 
 print("devices:", jax.devices(), flush=True)
 
-# ---- (1) accuracy drive: synthetic two-view through 5pt RANSAC ----
-from rpe_tpu.geometry.ransac import ransac_essential
-from rpe_tpu.geometry.recover_pose import recover_pose
-from rpe_tpu.geometry import so3_exp
+passed = {}
+
+
+def section(name):
+    """Decorator: run fn, print '<NAME> PASS' on success, isolate failure."""
+    def deco(fn):
+        t0 = time.perf_counter()
+        try:
+            fn()
+            passed[name] = True
+            print(f"{name} PASS  [{time.perf_counter()-t0:.0f}s]",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001 — isolate sections
+            passed[name] = False
+            print(f"{name} FAILED (non-fatal): {type(e).__name__}: {e}",
+                  flush=True)
+        return fn
+    return deco
+
+
+def _best_of(fn, *args, reps=3, inner=2):
+    t0 = time.perf_counter()
+    float(fn(*args))
+    print(f"  compile+run {time.perf_counter()-t0:.0f}s", flush=True)
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(inner):
+            r = fn(*args)
+        float(r)
+        best = min(best, (time.perf_counter() - t0) / inner)
+    return best
+
 
 rng = np.random.default_rng(0)
-w = rng.normal(size=3); w = w / np.linalg.norm(w) * np.deg2rad(12.0)
-R_gt = np.asarray(so3_exp(w))
-t_gt = rng.normal(size=3); t_gt /= np.linalg.norm(t_gt)
-N = 500
-X = rng.uniform([-2, -2, 3], [2, 2, 12], size=(N, 3))
-x1 = (X / X[:, 2:3])[:, :2]
-X2 = X @ R_gt.T + t_gt
-x2 = (X2 / X2[:, 2:3])[:, :2]
-x1 += rng.normal(scale=0.5 / 700, size=x1.shape)
-x2 += rng.normal(scale=0.5 / 700, size=x2.shape)
-x2[:N // 5] = rng.uniform(-0.5, 0.5, size=(N // 5, 2))
-valid = np.ones(N, bool)
-t0 = time.perf_counter()
-with jax.default_matmul_precision("highest"):
-    r = ransac_essential(jax.random.PRNGKey(0), jnp.asarray(x1, jnp.float32),
-                         jnp.asarray(x2, jnp.float32), jnp.asarray(valid),
-                         1.0 / 700, num_hypotheses=256, solver="5pt")
-    R, t, votes, _ = recover_pose(r["E"], jnp.asarray(x1, jnp.float32),
-                                  jnp.asarray(x2, jnp.float32),
-                                  jnp.asarray(valid),
-                                  inlier_mask=r["inlier_mask"])
-R = np.asarray(R, np.float64)
-print(f"drive compile+run {time.perf_counter()-t0:.0f}s", flush=True)
-rot_err = np.degrees(np.arccos(np.clip((np.trace(R_gt.T @ R) - 1) / 2, -1, 1)))
-print(f"drive: ok={bool(r['ok'])} inliers={int(r['num_inliers'])} "
-      f"rot_err={rot_err:.4f} deg", flush=True)
-assert bool(r["ok"]) and rot_err < 0.5
 
-# ---- (2) RANSAC-scale 5pt timing ----
-from rpe_tpu.geometry.five_point import five_point_essential
-
-B, H = 32, 256
-s1 = jnp.asarray(rng.normal(scale=0.3, size=(B, H, 5, 2)).astype(np.float32))
-s2 = jnp.asarray((np.asarray(s1) + rng.normal(scale=0.02, size=(B, H, 5, 2))
-                  ).astype(np.float32))
+# ---------------- (1) 5pt kernels: accuracy drive + timing ----------------
 
 
-@jax.jit
-def s_5pt(a, b):
-    with jax.default_matmul_precision("highest"):
-        E, ok = five_point_essential(a, b)
-        return jnp.sum(E) + jnp.sum(ok)
+@section("5PT")
+def _five_point():
+    os.environ["RPE_PALLAS_5PT"] = "1"
+    try:
+        from rpe_tpu.geometry.ransac import ransac_essential
+        from rpe_tpu.geometry.recover_pose import recover_pose
+        from rpe_tpu.geometry import so3_exp
+        from rpe_tpu.geometry.five_point import five_point_essential
+
+        w = rng.normal(size=3)
+        w = w / np.linalg.norm(w) * np.deg2rad(12.0)
+        R_gt = np.asarray(so3_exp(w))
+        t_gt = rng.normal(size=3)
+        t_gt /= np.linalg.norm(t_gt)
+        N = 500
+        X = rng.uniform([-2, -2, 3], [2, 2, 12], size=(N, 3))
+        x1 = (X / X[:, 2:3])[:, :2]
+        X2 = X @ R_gt.T + t_gt
+        x2 = (X2 / X2[:, 2:3])[:, :2]
+        x1 = x1 + rng.normal(scale=0.5 / 700, size=x1.shape)
+        x2 = x2 + rng.normal(scale=0.5 / 700, size=x2.shape)
+        x2[:N // 5] = rng.uniform(-0.5, 0.5, size=(N // 5, 2))
+        valid = np.ones(N, bool)
+        t0 = time.perf_counter()
+        with jax.default_matmul_precision("highest"):
+            r = ransac_essential(jax.random.PRNGKey(0),
+                                 jnp.asarray(x1, jnp.float32),
+                                 jnp.asarray(x2, jnp.float32),
+                                 jnp.asarray(valid),
+                                 1.0 / 700, num_hypotheses=256, solver="5pt")
+            R, t, votes, _ = recover_pose(r["E"], jnp.asarray(x1, jnp.float32),
+                                          jnp.asarray(x2, jnp.float32),
+                                          jnp.asarray(valid),
+                                          inlier_mask=r["inlier_mask"])
+        R = np.asarray(R, np.float64)
+        print(f"  drive compile+run {time.perf_counter()-t0:.0f}s",
+              flush=True)
+        rot_err = np.degrees(np.arccos(
+            np.clip((np.trace(R_gt.T @ R) - 1) / 2, -1, 1)))
+        print(f"  drive: ok={bool(r['ok'])} inliers={int(r['num_inliers'])} "
+              f"rot_err={rot_err:.4f} deg", flush=True)
+        assert bool(r["ok"]) and rot_err < 0.5
+
+        B, H = (2, 32) if SMOKE else (32, 256)
+        s1 = jnp.asarray(rng.normal(scale=0.3,
+                                    size=(B, H, 5, 2)).astype(np.float32))
+        s2 = jnp.asarray((np.asarray(s1)
+                          + rng.normal(scale=0.02, size=(B, H, 5, 2))
+                          ).astype(np.float32))
+
+        @jax.jit
+        def s_5pt(a, b):
+            with jax.default_matmul_precision("highest"):
+                E, ok = five_point_essential(a, b)
+                return jnp.sum(E) + jnp.sum(ok)
+
+        best = _best_of(s_5pt, s1, s2, reps=3, inner=3)
+        print(f"  five_point_full fused: {1000*best:.1f} ms/call -> "
+              f"{1000*best/B:.3f} ms/pair (was 2.396)", flush=True)
+    finally:
+        os.environ.pop("RPE_PALLAS_5PT", None)
 
 
-t0 = time.perf_counter(); float(s_5pt(s1, s2))
-print(f"5pt compile+run {time.perf_counter()-t0:.0f}s", flush=True)
-best = 1e9
-for _ in range(3):
-    t0 = time.perf_counter()
-    for _ in range(3):
-        rr = s_5pt(s1, s2)
-    float(rr)
-    best = min(best, (time.perf_counter() - t0) / 3)
-print(f"five_point_full fused: {1000*best:.1f} ms/call -> "
-      f"{1000*best/B:.3f} ms/pair (was 2.396)", flush=True)
+# ------------- baseline detect (XLA extraction) for parity/timing ---------
 
-# ---- (3) detect timing with Pallas extraction ----
-from PIL import Image
-from rpe_tpu.ops.orb import orb_detect_and_describe
+from PIL import Image  # noqa: E402
+from rpe_tpu.ops.orb import orb_detect_and_describe  # noqa: E402
 
-Hh, Ww, F = 376, 1241, 33
-p1 = "/root/reference/evaluation-runs/single-pair/images/000000.png"
-a = np.asarray(Image.open(p1).convert("L").resize((Ww, Hh), Image.BILINEAR),
-               np.float32)
-seq = jnp.asarray(np.stack([a] * F))
+Hh, Ww, F = (128, 256, 2) if SMOKE else (376, 1241, 33)
+NF, NL, MK = (512, 3, 512) if SMOKE else (4000, 12, 4096)
+_p1 = "/root/reference/evaluation-runs/single-pair/images/000000.png"
+img_a = np.asarray(
+    Image.open(_p1).convert("L").resize((Ww, Hh), Image.BILINEAR),
+    np.float32)
+seq = jnp.asarray(np.stack([img_a] * F))
+det_base = None  # XLA-extraction reference detection (set below)
 
 
-@jax.jit
-def s_detect(imgs):
-    def one(im):
-        d = orb_detect_and_describe(im, nfeatures=4000, nlevels=12,
-                                    scale_factor=1.1, max_kpts=4096)
-        return sum(jnp.sum(v) for v in jax.tree.leaves(d))
-    return jnp.sum(jax.lax.map(one, imgs))
+def _detect_one():
+    return jax.jit(lambda im: orb_detect_and_describe(
+        im, nfeatures=NF, nlevels=NL, scale_factor=1.1, max_kpts=MK))(
+            jnp.asarray(img_a))
 
 
-t0 = time.perf_counter(); float(s_detect(seq))
-print(f"detect compile+run {time.perf_counter()-t0:.0f}s", flush=True)
-best = 1e9
-for _ in range(3):
-    t0 = time.perf_counter()
-    for _ in range(2):
-        rr = s_detect(seq)
-    float(rr)
-    best = min(best, (time.perf_counter() - t0) / 2)
-print(f"full_detect pallas-extract: {1000*best:.1f} ms/call -> "
-      f"{1000*best/F:.3f} ms/image (was 4.696)", flush=True)
-
-# ---- (3b) moments-fused extraction (RPE_EXTRACT_MOMENTS) ----
-import os
-
-os.environ["RPE_EXTRACT_MOMENTS"] = "1"
-
-
-@jax.jit
-def s_detect_m(imgs):
-    def one(im):
-        d = orb_detect_and_describe(im, nfeatures=4000, nlevels=12,
-                                    scale_factor=1.1, max_kpts=4096)
-        return sum(jnp.sum(v) for v in jax.tree.leaves(d))
-    return jnp.sum(jax.lax.map(one, imgs))
-
-
-# hardware parity: one frame with vs without moments fusion
-det_m = jax.jit(lambda im: orb_detect_and_describe(
-    im, nfeatures=4000, nlevels=12, scale_factor=1.1, max_kpts=4096))(
-        jnp.asarray(a))
-det_m = {k: np.asarray(v) for k, v in det_m.items()}
-os.environ.pop("RPE_EXTRACT_MOMENTS")
-det_p = jax.jit(lambda im: orb_detect_and_describe(
-    im, nfeatures=4000, nlevels=12, scale_factor=1.1, max_kpts=4096,
-    use_atlas=True), static_argnums=())(jnp.asarray(a))
-det_p = {k: np.asarray(v) for k, v in det_p.items()}
-os.environ["RPE_EXTRACT_MOMENTS"] = "1"
-vm, vp = det_m["valid"], det_p["valid"]
-assert (vm == vp).all() and np.array_equal(det_m["xy"][vm], det_p["xy"][vp])
-ba = (det_m["bits"][vm] == det_p["bits"][vp]).mean()
-print(f"moments bit-agreement vs plain kernel: {ba:.5f}", flush=True)
-assert ba > 0.999
-
-t0 = time.perf_counter(); float(s_detect_m(seq))
-print(f"detect+moments compile+run {time.perf_counter()-t0:.0f}s", flush=True)
-best = 1e9
-for _ in range(3):
-    t0 = time.perf_counter()
-    for _ in range(2):
-        rr = s_detect_m(seq)
-    float(rr)
-    best = min(best, (time.perf_counter() - t0) / 2)
-print(f"full_detect moments-fused: {1000*best:.1f} ms/call -> "
-      f"{1000*best/F:.3f} ms/image", flush=True)
-del os.environ["RPE_EXTRACT_MOMENTS"]
-
-# ---- (3c) transposed zero-FLOP extraction (RPE_EXTRACT_T) ----
-os.environ["RPE_EXTRACT_T"] = "1"
-
-det_t = jax.jit(lambda im: orb_detect_and_describe(
-    im, nfeatures=4000, nlevels=12, scale_factor=1.1, max_kpts=4096))(
-        jnp.asarray(a))
-det_t = {k: np.asarray(v) for k, v in det_t.items()}
-vt = det_t["valid"]
-assert (vt == vp).all() and np.array_equal(det_t["xy"][vt], det_p["xy"][vp])
-ba = (det_t["bits"][vt] == det_p["bits"][vp]).mean()
-print(f"extract-T bit-agreement vs plain kernel: {ba:.5f}", flush=True)
-assert ba > 0.999
-
-
-@jax.jit
-def s_detect_t(imgs):
-    def one(im):
-        d = orb_detect_and_describe(im, nfeatures=4000, nlevels=12,
-                                    scale_factor=1.1, max_kpts=4096)
-        return sum(jnp.sum(v) for v in jax.tree.leaves(d))
-    return jnp.sum(jax.lax.map(one, imgs))
-
-
-t0 = time.perf_counter(); float(s_detect_t(seq))
-print(f"detect+extract-T compile+run {time.perf_counter()-t0:.0f}s",
-      flush=True)
-best = 1e9
-for _ in range(3):
-    t0 = time.perf_counter()
-    for _ in range(2):
-        rr = s_detect_t(seq)
-    float(rr)
-    best = min(best, (time.perf_counter() - t0) / 2)
-print(f"full_detect extract-T: {1000*best:.1f} ms/call -> "
-      f"{1000*best/F:.3f} ms/image", flush=True)
-del os.environ["RPE_EXTRACT_T"]
-
-# ---- (3d) in-kernel steered BRIEF (RPE_EXTRACT_T_BRIEF) ----
-# Separately fenced: this kernel needs Mosaic atan2/cos/sin — if the
-# lowering rejects it, the rest of the validation (and the main PASS
-# marker) must survive. bench.py only flips RPE_EXTRACT_T_BRIEF on the
-# dedicated "T_BRIEF PASS" marker below.
-try:
-    os.environ["RPE_EXTRACT_T"] = "1"
-    os.environ["RPE_EXTRACT_T_BRIEF"] = "1"
-
-    det_tb = jax.jit(lambda im: orb_detect_and_describe(
-        im, nfeatures=4000, nlevels=12, scale_factor=1.1, max_kpts=4096))(
-            jnp.asarray(a))
-    det_tb = {k: np.asarray(v) for k, v in det_tb.items()}
-    vtb = det_tb["valid"]
-    assert (vtb == vp).all()
-    assert np.array_equal(det_tb["xy"][vtb], det_p["xy"][vp])
-    ba = (det_tb["bits"][vtb] == det_p["bits"][vp]).mean()
-    # Mosaic vs XLA transcendental ULP differences can flip a sample only
-    # when round() sits on a .5 boundary — near-1.0 expected, gate 0.999
-    print(f"extract-T-BRIEF bit-agreement vs plain kernel: {ba:.5f}",
-          flush=True)
-    assert ba > 0.999
-
+def _detect_seq_timer():
     @jax.jit
-    def s_detect_tb(imgs):
+    def s_detect(imgs):
         def one(im):
-            d = orb_detect_and_describe(im, nfeatures=4000, nlevels=12,
-                                        scale_factor=1.1, max_kpts=4096)
+            d = orb_detect_and_describe(im, nfeatures=NF, nlevels=NL,
+                                        scale_factor=1.1, max_kpts=MK)
             return sum(jnp.sum(v) for v in jax.tree.leaves(d))
         return jnp.sum(jax.lax.map(one, imgs))
+    return s_detect
 
-    t0 = time.perf_counter(); float(s_detect_tb(seq))
-    print(f"detect+extract-T-BRIEF compile+run {time.perf_counter()-t0:.0f}s",
-          flush=True)
-    best = 1e9
-    for _ in range(3):
+
+@section("DETECT_BASE")
+def _detect_base():
+    global det_base
+    det = _detect_one()
+    det_base = {k: np.asarray(v) for k, v in det.items()}
+    best = _best_of(_detect_seq_timer(), seq, reps=3, inner=2)
+    print(f"  full_detect XLA-extract: {1000*best:.1f} ms/call -> "
+          f"{1000*best/F:.3f} ms/image (r2 budget 4.696)", flush=True)
+
+
+def _bit_parity(det, label, gate=0.999):
+    v, vp = det["valid"], det_base["valid"]
+    assert (v == vp).all()
+    assert np.array_equal(det["xy"][v], det_base["xy"][vp])
+    ba = (det["bits"][v] == det_base["bits"][vp]).mean()
+    print(f"  {label} bit-agreement vs XLA path: {ba:.5f}", flush=True)
+    assert ba > gate
+
+
+def _variant_section(name, env):
+    def run():
+        assert det_base is not None, "baseline detect failed"
+        for k, val in env.items():
+            os.environ[k] = val
+        try:
+            det = _detect_one()
+            det = {k: np.asarray(v) for k, v in det.items()}
+            _bit_parity(det, name)
+            best = _best_of(_detect_seq_timer(), seq, reps=3, inner=2)
+            print(f"  full_detect {name}: {1000*best:.1f} ms/call -> "
+                  f"{1000*best/F:.3f} ms/image", flush=True)
+        finally:
+            for k in env:
+                os.environ.pop(k, None)
+    run.__name__ = name
+    return section(name)(run)
+
+
+# ---- (2) VMEM one-hot extraction / (2b) moments / (2c) T / (2d) T_BRIEF --
+_variant_section("EXTRACT", {"RPE_PALLAS_EXTRACT": "1"})
+_variant_section("MOMENTS", {"RPE_PALLAS_EXTRACT": "1",
+                             "RPE_EXTRACT_MOMENTS": "1"})
+_variant_section("EXTRACT_T", {"RPE_EXTRACT_T": "1"})
+# needs Mosaic atan2/cos/sin; fenced separately as before
+_variant_section("T_BRIEF", {"RPE_EXTRACT_T": "1",
+                             "RPE_EXTRACT_T_BRIEF": "1"})
+
+
+# ---------------- (3) fused matcher: bit-parity + timing -------------------
+
+
+@section("MATCH")
+def _match():
+    os.environ["RPE_PALLAS_MATCH"] = "1"
+    try:
+        from rpe_tpu.ops.match import (cross_check_match,
+                                       hamming_distance_matrix,
+                                       l2sq_distance_matrix)
+        from rpe_tpu.ops.match_pallas import cross_check_match_fused
+
+        NK = 512 if SMOKE else 4096
+        bits1 = jnp.asarray((rng.random((NK, 256)) < 0.5).astype(np.uint8))
+        bits2 = jnp.asarray((rng.random((NK, 256)) < 0.5).astype(np.uint8))
+        v1 = jnp.asarray(np.arange(NK) < NK - 300)
+        v2 = jnp.asarray(np.arange(NK) < NK - 200)
+
+        ref = cross_check_match(hamming_distance_matrix(bits1, bits2), v1, v2,
+                                max_matches=512)
         t0 = time.perf_counter()
-        for _ in range(2):
-            rr = s_detect_tb(seq)
-        float(rr)
-        best = min(best, (time.perf_counter() - t0) / 2)
-    print(f"full_detect extract-T-BRIEF: {1000*best:.1f} ms/call -> "
-          f"{1000*best/F:.3f} ms/image", flush=True)
-    print("T_BRIEF PASS", flush=True)
-except Exception as e:  # noqa: BLE001 — isolate from the main validation
-    print(f"extract-T-BRIEF FAILED (non-fatal): {type(e).__name__}: {e}",
-          flush=True)
-finally:
-    os.environ.pop("RPE_EXTRACT_T", None)
-    os.environ.pop("RPE_EXTRACT_T_BRIEF", None)
+        got = cross_check_match_fused(bits1, bits2, v1, v2,
+                                      max_matches=512,
+                                      interpret=SMOKE)
+        mm = {k: np.asarray(vv) for k, vv in got.items()}
+        print(f"  match compile+run {time.perf_counter()-t0:.0f}s",
+              flush=True)
+        for k in ("idx1", "idx2", "dist", "valid"):
+            np.testing.assert_array_equal(mm[k], np.asarray(ref[k]), k)
+        print(f"  fused matcher bit-parity OK "
+              f"({int(mm['valid'].sum())} matches)", flush=True)
 
-# ---- (4) fused matcher: hardware bit-parity vs XLA path + timing ----
-from rpe_tpu.ops.match import hamming_distance_matrix, cross_check_match
-from rpe_tpu.ops.match_pallas import cross_check_match_fused
+        dl1 = jnp.asarray(rng.normal(size=(NK, 128)).astype(np.float32))
+        dl2 = jnp.asarray(rng.normal(size=(NK, 128)).astype(np.float32))
+        refl = cross_check_match(l2sq_distance_matrix(dl1, dl2), v1, v2,
+                                 max_matches=512)
+        gotl = cross_check_match_fused(dl1, dl2, v1, v2, max_matches=512,
+                                       norm="l2", interpret=SMOKE)
+        mref = np.asarray(refl["valid"])
+        rs = set(zip(np.asarray(refl["idx1"])[mref],
+                     np.asarray(refl["idx2"])[mref]))
+        gs = set(zip(np.asarray(gotl["idx1"])[mref],
+                     np.asarray(gotl["idx2"])[mref]))
+        inter = len(rs & gs) / max(len(rs), 1)
+        print(f"  fused matcher L2 set-parity {inter:.4f} "
+              f"({len(rs)} matches)", flush=True)
+        assert inter > 0.999
 
-bits1 = jnp.asarray((rng.random((4096, 256)) < 0.5).astype(np.uint8))
-bits2 = jnp.asarray((rng.random((4096, 256)) < 0.5).astype(np.uint8))
-v1 = jnp.asarray(np.arange(4096) < 3500)
-v2 = jnp.asarray(np.arange(4096) < 3700)
+        # vmapped parity (batching rule + Mosaic) and timing vs XLA
+        BM = 2 if SMOKE else 24
+        bb1 = jnp.asarray((rng.random((BM, NK, 256)) < 0.5)
+                          .astype(np.uint8))
+        bb2 = jnp.asarray((rng.random((BM, NK, 256)) < 0.5)
+                          .astype(np.uint8))
+        vm_fused = jax.vmap(lambda c1, c2: cross_check_match_fused(
+            c1, c2, v1, v2, max_matches=512, interpret=SMOKE))
+        gv = {k: np.asarray(vv)
+              for k, vv in vm_fused(bb1[:2], bb2[:2]).items()}
+        for j in range(2):
+            refj = cross_check_match(hamming_distance_matrix(bb1[j], bb2[j]),
+                                     v1, v2, max_matches=512)
+            for k in ("idx1", "idx2", "dist", "valid"):
+                np.testing.assert_array_equal(gv[k][j], np.asarray(refj[k]),
+                                              f"vmap {k}")
+        print("  fused matcher vmapped bit-parity OK", flush=True)
 
-ref = cross_check_match(hamming_distance_matrix(bits1, bits2), v1, v2,
-                        max_matches=512)
-t0 = time.perf_counter()
-got = cross_check_match_fused(bits1, bits2, v1, v2, max_matches=512)
-mm = {k: np.asarray(vv) for k, vv in got.items()}
-print(f"match compile+run {time.perf_counter()-t0:.0f}s", flush=True)
-for k in ("idx1", "idx2", "dist", "valid"):
-    np.testing.assert_array_equal(mm[k], np.asarray(ref[k]), k)
-print(f"fused matcher bit-parity OK ({int(mm['valid'].sum())} matches)",
-      flush=True)
+        @jax.jit
+        def s_match(c1, c2):
+            m = vm_fused(c1, c2)
+            return (jnp.sum(m["dist"] * m["valid"])
+                    + jnp.sum(m["idx1"] + m["idx2"]).astype(jnp.float32))
 
-from rpe_tpu.ops.match import l2sq_distance_matrix
+        @jax.jit
+        def s_match_xla(c1, c2):
+            def one(t):
+                m = cross_check_match(hamming_distance_matrix(t[0], t[1]),
+                                      v1, v2, max_matches=512)
+                return (jnp.sum(m["dist"] * m["valid"])
+                        + jnp.sum(m["idx1"] + m["idx2"]).astype(jnp.float32))
+            return jnp.sum(jax.lax.map(one, (c1, c2)))
 
-dl1 = jnp.asarray(rng.normal(size=(4096, 128)).astype(np.float32))
-dl2 = jnp.asarray(rng.normal(size=(4096, 128)).astype(np.float32))
-refl = cross_check_match(l2sq_distance_matrix(dl1, dl2), v1, v2,
-                         max_matches=512)
-gotl = cross_check_match_fused(dl1, dl2, v1, v2, max_matches=512, norm="l2")
-mref = np.asarray(refl["valid"])
-rs = set(zip(np.asarray(refl["idx1"])[mref], np.asarray(refl["idx2"])[mref]))
-gs = set(zip(np.asarray(gotl["idx1"])[mref], np.asarray(gotl["idx2"])[mref]))
-inter = len(rs & gs) / max(len(rs), 1)
-print(f"fused matcher L2 set-parity {inter:.4f} ({len(rs)} matches)",
-      flush=True)
-assert inter > 0.999
-
-
-# timing: BM pair-batches inside one jit call (dispatch ~28 ms amortized)
-BM = 24
-bb1 = jnp.asarray((rng.random((BM, 4096, 256)) < 0.5).astype(np.uint8))
-bb2 = jnp.asarray((rng.random((BM, 4096, 256)) < 0.5).astype(np.uint8))
-
-
-# vmap over pairs — the production layout (_match_to_pose is vmapped)
-vm_fused = jax.vmap(lambda c1, c2: cross_check_match_fused(
-    c1, c2, v1, v2, max_matches=512))
-
-# parity of the VMAPPED kernel on hardware (batching rule + Mosaic)
-gv = {k: np.asarray(vv) for k, vv in vm_fused(bb1[:2], bb2[:2]).items()}
-for j in range(2):
-    refj = cross_check_match(hamming_distance_matrix(bb1[j], bb2[j]),
-                             v1, v2, max_matches=512)
-    for k in ("idx1", "idx2", "dist", "valid"):
-        np.testing.assert_array_equal(gv[k][j], np.asarray(refj[k]),
-                                      f"vmap {k}")
-print("fused matcher vmapped bit-parity OK", flush=True)
+        for name, fn in (("fused", s_match), ("xla", s_match_xla)):
+            best = _best_of(fn, bb1, bb2, reps=3, inner=2)
+            print(f"  match[{name}]: {1000*best:.1f} ms/call -> "
+                  f"{1000*best/BM:.3f} ms/pair (xla budget 0.66)",
+                  flush=True)
+    finally:
+        os.environ.pop("RPE_PALLAS_MATCH", None)
 
 
-@jax.jit
-def s_match(c1, c2):
-    m = vm_fused(c1, c2)
-    return (jnp.sum(m["dist"] * m["valid"])
-            + jnp.sum(m["idx1"] + m["idx2"]).astype(jnp.float32))
-
-
-@jax.jit
-def s_match_xla(c1, c2):
-    def one(t):
-        m = cross_check_match(hamming_distance_matrix(t[0], t[1]), v1, v2,
-                              max_matches=512)
-        return (jnp.sum(m["dist"] * m["valid"])
-                + jnp.sum(m["idx1"] + m["idx2"]).astype(jnp.float32))
-    return jnp.sum(jax.lax.map(one, (c1, c2)))
-
-
-for name, fn in (("fused", s_match), ("xla", s_match_xla)):
-    t0 = time.perf_counter(); float(fn(bb1, bb2))
-    print(f"match[{name}] compile+run {time.perf_counter()-t0:.0f}s",
-          flush=True)
-    best = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(2):
-            rr = fn(bb1, bb2)
-        float(rr)
-        best = min(best, (time.perf_counter() - t0) / 2)
-    print(f"match[{name}]: {1000*best:.1f} ms/call -> "
-          f"{1000*best/BM:.3f} ms/pair (xla budget 0.66)", flush=True)
-print("VALIDATION PASS", flush=True)
+CORE = ("5PT", "EXTRACT", "EXTRACT_T", "MATCH")
+if all(passed.get(k) for k in CORE):
+    print("VALIDATION PASS", flush=True)
+else:
+    print("VALIDATION PARTIAL:",
+          {k: v for k, v in passed.items()}, flush=True)

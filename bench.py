@@ -198,14 +198,31 @@ def _wait_for_backend() -> tuple[bool, str]:
 _VALIDATE_LOG = "/tmp/validate_kernels.log"
 _GATES = ("RPE_PALLAS_5PT", "RPE_PALLAS_EXTRACT", "RPE_PALLAS_MATCH",
           "RPE_EXTRACT_T")
+# validation-log marker -> env gate ("<MARKER> PASS" printed per section
+# by .scratch/validate_kernels_tpu.py the moment that kernel family's
+# hardware parity+timing checks clear, so a validation run cut short by
+# the round budget still yields the kernels it got through)
+_MARKER_GATES = (
+    ("5PT PASS", "RPE_PALLAS_5PT"),
+    ("EXTRACT PASS", "RPE_PALLAS_EXTRACT"),
+    ("EXTRACT_T PASS", "RPE_EXTRACT_T"),
+    ("MATCH PASS", "RPE_PALLAS_MATCH"),
+    # the in-kernel-BRIEF variant is fenced separately (needs Mosaic
+    # transcendentals) and only adopted on its own marker
+    ("T_BRIEF PASS", "RPE_EXTRACT_T_BRIEF"),
+)
 
 
 def _enable_validated_kernels() -> bool:
-    """Turn the opt-in Pallas kernels on IFF this host's hardware
+    """Turn each opt-in Pallas kernel on IFF this host's hardware
     validation run (.scratch/validate_kernels_tpu.py, launched by the
-    tunnel-recovery chain) recorded a full PASS. Unvalidated kernels stay
-    off — round 2 taught us never to default-enable a kernel the real chip
-    has not compiled (CLAUDE.md hazard #5)."""
+    tunnel-recovery chain) recorded that kernel's PASS marker.
+    Unvalidated kernels stay off — round 2 taught us never to
+    default-enable a kernel the real chip has not compiled (CLAUDE.md
+    hazard #5). "VALIDATION PASS" (all core kernels green) implies every
+    core marker, so full-pass behavior is unchanged; a partial log
+    enables exactly the validated subset. Returns True if anything was
+    enabled."""
     import os
 
     if any(os.environ.get(g) is not None
@@ -216,16 +233,16 @@ def _enable_validated_kernels() -> bool:
             log = f.read()
     except OSError:
         return False
-    passed = "VALIDATION PASS" in log
-    if passed:
-        for g in _GATES:
-            os.environ[g] = "1"
-        # the in-kernel-BRIEF variant is fenced separately in the
-        # validation script (needs Mosaic transcendentals) and only
-        # adopted on its own marker
-        if "T_BRIEF PASS" in log:
-            os.environ["RPE_EXTRACT_T_BRIEF"] = "1"
-    return passed
+    enabled = set()
+    for marker, gate in _MARKER_GATES:
+        if marker in log or (gate in _GATES and "VALIDATION PASS" in log):
+            enabled.add(gate)
+    # T_BRIEF is only meaningful on top of the T kernel
+    if "RPE_EXTRACT_T_BRIEF" in enabled and "RPE_EXTRACT_T" not in enabled:
+        enabled.discard("RPE_EXTRACT_T_BRIEF")
+    for g in enabled:
+        os.environ[g] = "1"
+    return bool(enabled)
 
 
 def main():

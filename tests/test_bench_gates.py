@@ -79,11 +79,13 @@ def test_operator_choice_wins(tmp_path):
         assert os.environ.get("RPE_PALLAS_5PT") is None
 
 
-def test_partial_log_enables_nothing(tmp_path):
+def test_tbrief_alone_enables_nothing(tmp_path):
+    """T_BRIEF rides on the T kernel: its marker without EXTRACT_T (or the
+    full PASS) must enable nothing."""
     bench = _bench()
     log = tmp_path / "v.log"
     log.write_text("drive: ok=True ...\n5pt compile+run 120s\n"
-                   "T_BRIEF PASS\n")  # crashed before the main marker
+                   "T_BRIEF PASS\n")  # crashed before any other marker
     patch, keys = _clean_env()
     with patch:
         for k in keys:
@@ -91,6 +93,44 @@ def test_partial_log_enables_nothing(tmp_path):
         with mock.patch.object(bench, "_VALIDATE_LOG", str(log)):
             assert bench._enable_validated_kernels() is False
         assert not any(os.environ.get(k) for k in keys)
+
+
+def test_partial_markers_enable_exact_subset(tmp_path):
+    """v2 per-section markers: a validation run cut short adopts exactly
+    the kernels whose sections passed (late-recovery resilience)."""
+    bench = _bench()
+    log = tmp_path / "v.log"
+    log.write_text("5PT PASS  [812s]\n"
+                   "DETECT_BASE PASS  [400s]\n"
+                   "EXTRACT FAILED (non-fatal): Mosaic ...\n"
+                   "MATCH PASS  [301s]\n"
+                   "VALIDATION PARTIAL: {'5PT': True, 'EXTRACT': False}\n")
+    patch, keys = _clean_env()
+    with patch:
+        for k in keys:
+            os.environ.pop(k, None)
+        with mock.patch.object(bench, "_VALIDATE_LOG", str(log)):
+            assert bench._enable_validated_kernels() is True
+        assert os.environ.get("RPE_PALLAS_5PT") == "1"
+        assert os.environ.get("RPE_PALLAS_MATCH") == "1"
+        assert os.environ.get("RPE_PALLAS_EXTRACT") is None
+        assert os.environ.get("RPE_EXTRACT_T") is None
+        assert os.environ.get("RPE_EXTRACT_T_BRIEF") is None
+
+
+def test_extract_t_marker_does_not_leak_into_extract(tmp_path):
+    """Substring safety: 'EXTRACT_T PASS' must not read as 'EXTRACT PASS'."""
+    bench = _bench()
+    log = tmp_path / "v.log"
+    log.write_text("EXTRACT_T PASS  [500s]\n")
+    patch, keys = _clean_env()
+    with patch:
+        for k in keys:
+            os.environ.pop(k, None)
+        with mock.patch.object(bench, "_VALIDATE_LOG", str(log)):
+            assert bench._enable_validated_kernels() is True
+        assert os.environ.get("RPE_EXTRACT_T") == "1"
+        assert os.environ.get("RPE_PALLAS_EXTRACT") is None
 
 
 def test_wait_respects_chain_lock(tmp_path):

@@ -172,31 +172,52 @@ class BatchProcessor:
         starts = [s for s in range(0, n_pairs, chunk)
                   if not all(i in done
                              for i in range(s, min(s + chunk, n_pairs)))]
-        pending = _stage(starts[0]) if starts else None
-        for si in range(len(starts)):
-            start, end, arrs = pending
-            if shard is None:
-                out = estimate_sequence_batched(*arrs, cfg=cfg)
-            else:
-                from ..parallel.sharded_estimator import (
-                    estimate_sequence_sharded,
-                )
 
-                out = estimate_sequence_sharded(*arrs, cfg=cfg,
-                                                mesh=self.mesh)
-                out = jax.tree.map(
-                    lambda x: x.reshape(chunk, *x.shape[2:]), out)
-            # stage the next chunk while the device runs this one
-            pending = _stage(starts[si + 1]) if si + 1 < len(starts) else None
-            idx = list(range(start, end))
-            n = len(idx)
+        def _compute(arrs):
+            """Enqueue one chunk's program (async dispatch)."""
+            if shard is None:
+                return estimate_sequence_batched(*arrs, cfg=cfg)
+            from ..parallel.sharded_estimator import (
+                estimate_sequence_sharded,
+            )
+
+            out = estimate_sequence_sharded(*arrs, cfg=cfg, mesh=self.mesh)
+            return jax.tree.map(
+                lambda x: x.reshape(chunk, *x.shape[2:]), out)
+
+        def _flush(entry):
+            """Block on a chunk's outputs and record them (device->host
+            transfer is the only reliable barrier on the tunneled
+            backend)."""
+            start, end, out = entry
+            n = end - start
             R_out[start:end] = np.asarray(out["R"])[:n]
             t_out[start:end] = np.asarray(out["t"])[:n]
             valid_out[start:end] = np.asarray(out["valid"])[:n]
             nm_out[start:end] = np.asarray(out["num_matches"])[:n]
-            meter.lap(pairs=n)  # np.asarray above is the transfer barrier
+            meter.lap(pairs=n)
             self._append_checkpoint(frames, range(start, end),
                                     R_out, t_out, valid_out, nm_out)
+
+        # One chunk kept IN FLIGHT: dispatch chunk c+1 (async) before
+        # blocking on chunk c's outputs, so the per-dispatch tunnel RTT
+        # (~28 ms — the 0.9 ms/pair "dispatch" line of the round-2 stage
+        # budget at chunk 32) rides behind device compute instead of
+        # serializing with it. Staging (decode + async H2D) already
+        # overlapped; this overlaps the dispatch+readback edge too.
+        # Results are flushed strictly in order (checkpoint contract).
+        prev = None
+        pending = _stage(starts[0]) if starts else None
+        for si in range(len(starts)):
+            start, end, arrs = pending
+            out = _compute(arrs)
+            # stage the next chunk while the device runs this one
+            pending = _stage(starts[si + 1]) if si + 1 < len(starts) else None
+            if prev is not None:
+                _flush(prev)
+            prev = (start, end, out)
+        if prev is not None:
+            _flush(prev)
         meter.stop(pairs=n_pairs)
         pps = meter.pairs_per_sec_per_chip()
         steady = meter.steady_pairs_per_sec_per_chip()

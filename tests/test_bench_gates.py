@@ -162,6 +162,36 @@ def test_wait_probes_after_lock_clears(tmp_path):
     assert ok is True
 
 
+def test_cached_auto_result_adopted(tmp_path):
+    """When the backend is unreachable, the recovery chain's own bench
+    measurement (same code, same chip) is emitted with provenance instead
+    of a null."""
+    bench = _bench()
+    auto = tmp_path / "bench_r3_auto.json"
+    auto.write_text('{"metric": "m", "value": 123.4, "unit": "pairs/s", '
+                    '"vs_baseline": 40.0}\n')
+    with mock.patch.object(bench, "_AUTO_BENCH", str(auto)):
+        rec = bench._cached_auto_result()
+    assert rec is not None
+    assert rec["value"] == 123.4
+    assert "cached" in rec["note"]
+    assert "measured_at" in rec
+
+
+def test_cached_auto_result_rejects_null_and_garbage(tmp_path):
+    bench = _bench()
+    auto = tmp_path / "bench_r3_auto.json"
+    auto.write_text('{"metric": "m", "value": null, "reason": "wedged"}\n')
+    with mock.patch.object(bench, "_AUTO_BENCH", str(auto)):
+        assert bench._cached_auto_result() is None
+    auto.write_text("Traceback (most recent call last):\n  boom\n")
+    with mock.patch.object(bench, "_AUTO_BENCH", str(auto)):
+        assert bench._cached_auto_result() is None
+    with mock.patch.object(bench, "_AUTO_BENCH",
+                           str(tmp_path / "absent.json")):
+        assert bench._cached_auto_result() is None
+
+
 def test_stale_chain_lock_ignored(tmp_path):
     bench = _bench()
     lock = tmp_path / "rpe_chain_running"

@@ -32,3 +32,10 @@ echo "sim rc=$?"; tail -5 /tmp/regen_sim.log
 timeout 5400 python -m rpe_tpu.cli.run_vo_database_salah --no-video --no-plot \
   --results-dir /tmp/regen_salah > /tmp/regen_salah.log 2>&1
 echo "salah rc=$?"; tail -5 /tmp/regen_salah.log
+timeout 2700 python -m rpe_tpu.cli.run_phone_data --no-video --no-plot \
+  --results-dir /tmp/regen_phone > /tmp/regen_phone.log 2>&1
+echo "phone rc=$?"; tail -5 /tmp/regen_phone.log
+# adopt regenerated CSVs into results/ iff accuracy holds/improves (the
+# driver commits the working tree at round end, so an unattended recovery
+# still lands refreshed goldens)
+python .scratch/adopt_goldens.py /tmp

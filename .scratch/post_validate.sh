@@ -8,11 +8,13 @@ cd /root/repo
 LOG=/tmp/validate_kernels.log
 grep -q "^5PT PASS" "$LOG" 2>/dev/null && export RPE_PALLAS_5PT=1
 grep -q "^EXTRACT PASS" "$LOG" 2>/dev/null && export RPE_PALLAS_EXTRACT=1
-grep -q "^EXTRACT_T PASS" "$LOG" 2>/dev/null && export RPE_EXTRACT_T=1
+# EXTRACT_T3 (not the retired EXTRACT_T marker — that one was recorded by
+# a run where the dispatch no-op'd the gate, validating XLA against itself)
+grep -q "^EXTRACT_T3 PASS" "$LOG" 2>/dev/null && export RPE_EXTRACT_T=1
 grep -q "^MATCH PASS" "$LOG" 2>/dev/null && export RPE_PALLAS_MATCH=1
-if [ -n "$RPE_EXTRACT_T" ] && grep -q "^T_BRIEF PASS" "$LOG" 2>/dev/null; then
-  export RPE_EXTRACT_T_BRIEF=1
-fi
+# T_BRIEF: validated but NOT adopted — identical timing to EXTRACT_T on
+# hardware (08-18) and its Mosaic-transcendental ULP flips drifted the
+# simulator golden 0.72 -> 1.08 deg mean. See bench.py _MARKER_GATES.
 env | grep RPE_
 
 timeout 5400 python .scratch/tpu_stage_probe.py > /tmp/stage_r3.log 2>&1

@@ -39,10 +39,22 @@ print("devices:", jax.devices(), flush=True)
 
 passed = {}
 
+# RPE_VALIDATE_ONLY="MATCH,EXTRACT": run just those sections (for
+# re-validating a fixed kernel without paying every section's remote
+# compile again). APPEND the run's output to /tmp/validate_kernels.log so
+# earlier markers survive — bench.py/post_validate.sh grep that one file.
+ONLY = os.environ.get("RPE_VALIDATE_ONLY")
+ONLY = {s.strip() for s in ONLY.split(",") if s.strip()} if ONLY else None
+if ONLY and ONLY & {"EXTRACT", "MOMENTS", "EXTRACT_T3", "T_BRIEF3"}:
+    ONLY.add("DETECT_BASE")  # extract variants parity-check against it
+
 
 def section(name):
     """Decorator: run fn, print '<NAME> PASS' on success, isolate failure."""
     def deco(fn):
+        if ONLY is not None and name not in ONLY:
+            print(f"{name} SKIP (RPE_VALIDATE_ONLY)", flush=True)
+            return fn
         t0 = time.perf_counter()
         try:
             fn()
@@ -190,19 +202,39 @@ def _bit_parity(det, label, gate=0.999):
     assert ba > gate
 
 
-def _variant_section(name, env):
+def _variant_section(name, env, kernel_fn=None):
+    """kernel_fn: the ops.extract_pallas entry point this variant MUST
+    trace through. The 08-18 run passed two sections vacuously (the env
+    gate no-op'd and the XLA path was compared against itself), so every
+    variant now spies its kernel at trace time and fails if it never
+    fired. Skipped in SMOKE (gates deliberately no-op on CPU there)."""
     def run():
         assert det_base is not None, "baseline detect failed"
+        import rpe_tpu.ops.extract_pallas as _ep
+        calls = []
+        orig = getattr(_ep, kernel_fn) if kernel_fn else None
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
         for k, val in env.items():
             os.environ[k] = val
+        if orig is not None:
+            setattr(_ep, kernel_fn, spy)
         try:
             det = _detect_one()
+            if orig is not None and not SMOKE:
+                assert calls, (f"{name}: env {env} did not engage "
+                               f"{kernel_fn} — vacuous validation")
             det = {k: np.asarray(v) for k, v in det.items()}
             _bit_parity(det, name)
             best = _best_of(_detect_seq_timer(), seq, reps=3, inner=2)
             print(f"  full_detect {name}: {1000*best:.1f} ms/call -> "
                   f"{1000*best/F:.3f} ms/image", flush=True)
         finally:
+            if orig is not None:
+                setattr(_ep, kernel_fn, orig)
             for k in env:
                 os.environ.pop(k, None)
     run.__name__ = name
@@ -210,13 +242,24 @@ def _variant_section(name, env):
 
 
 # ---- (2) VMEM one-hot extraction / (2b) moments / (2c) T / (2d) T_BRIEF --
-_variant_section("EXTRACT", {"RPE_PALLAS_EXTRACT": "1"})
+# The T sections are named *3: the 08-18 run recorded "EXTRACT_T PASS" /
+# "T_BRIEF PASS" markers that were VACUOUS — atlas.py's dispatch then
+# required RPE_PALLAS_EXTRACT alongside RPE_EXTRACT_T, so those sections
+# ran the XLA path and compared it against itself. The dispatch now honors
+# RPE_EXTRACT_T standalone, and the renamed markers make sure bench.py /
+# post_validate.sh can never adopt the gate off the stale vacuous lines.
+_variant_section("EXTRACT", {"RPE_PALLAS_EXTRACT": "1"},
+                 kernel_fn="extract_windows")
 _variant_section("MOMENTS", {"RPE_PALLAS_EXTRACT": "1",
-                             "RPE_EXTRACT_MOMENTS": "1"})
-_variant_section("EXTRACT_T", {"RPE_EXTRACT_T": "1"})
-# needs Mosaic atan2/cos/sin; fenced separately as before
-_variant_section("T_BRIEF", {"RPE_EXTRACT_T": "1",
-                             "RPE_EXTRACT_T_BRIEF": "1"})
+                             "RPE_EXTRACT_MOMENTS": "1"},
+                 kernel_fn="extract_windows_moments")
+_variant_section("EXTRACT_T3", {"RPE_EXTRACT_T": "1"},
+                 kernel_fn="extract_windows_t")
+# in-kernel BRIEF (normalized cos/sin, no transcendentals); still fenced
+# separately — its ULP-level angle differences can flip descriptor bits
+_variant_section("T_BRIEF3", {"RPE_EXTRACT_T": "1",
+                              "RPE_EXTRACT_T_BRIEF": "1"},
+                 kernel_fn="extract_windows_t_brief")
 
 
 # ---------------- (3) fused matcher: bit-parity + timing -------------------
@@ -309,7 +352,7 @@ def _match():
         os.environ.pop("RPE_PALLAS_MATCH", None)
 
 
-CORE = ("5PT", "EXTRACT", "EXTRACT_T", "MATCH")
+CORE = ("5PT", "EXTRACT", "EXTRACT_T3", "MATCH")
 if all(passed.get(k) for k in CORE):
     print("VALIDATION PASS", flush=True)
 else:

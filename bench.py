@@ -244,11 +244,18 @@ _GATES = ("RPE_PALLAS_5PT", "RPE_PALLAS_EXTRACT", "RPE_PALLAS_MATCH",
 _MARKER_GATES = (
     ("5PT PASS", "RPE_PALLAS_5PT"),
     ("EXTRACT PASS", "RPE_PALLAS_EXTRACT"),
-    ("EXTRACT_T PASS", "RPE_EXTRACT_T"),
+    # EXTRACT_T3, not EXTRACT_T: the 08-18 run's "EXTRACT_T PASS" marker
+    # was VACUOUS (the atlas.py dispatch then required RPE_PALLAS_EXTRACT
+    # alongside RPE_EXTRACT_T, so the section validated the XLA path
+    # against itself). The dispatch now honors RPE_EXTRACT_T standalone
+    # and the v3 validation script prints versioned markers so the stale
+    # line can never enable the (still unvalidated) kernel.
+    ("EXTRACT_T3 PASS", "RPE_EXTRACT_T"),
     ("MATCH PASS", "RPE_PALLAS_MATCH"),
-    # the in-kernel-BRIEF variant is fenced separately (needs Mosaic
-    # transcendentals) and only adopted on its own marker
-    ("T_BRIEF PASS", "RPE_EXTRACT_T_BRIEF"),
+    # T_BRIEF3 is deliberately NOT auto-adopted even on PASS: its Mosaic
+    # atan2/round ULP differences can flip descriptor bits vs the XLA
+    # BRIEF, so it needs an explicit accuracy A/B on the datasets first
+    # (only an operator's explicit RPE_EXTRACT_T_BRIEF=1 turns it on).
 )
 
 
@@ -276,9 +283,6 @@ def _enable_validated_kernels() -> bool:
     for marker, gate in _MARKER_GATES:
         if marker in log or (gate in _GATES and "VALIDATION PASS" in log):
             enabled.add(gate)
-    # T_BRIEF is only meaningful on top of the T kernel
-    if "RPE_EXTRACT_T_BRIEF" in enabled and "RPE_EXTRACT_T" not in enabled:
-        enabled.discard("RPE_EXTRACT_T_BRIEF")
     for g in enabled:
         os.environ[g] = "1"
     return bool(enabled)

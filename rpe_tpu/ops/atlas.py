@@ -219,17 +219,20 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
     # any backend (CPU end-to-end parity tests); production TPU runs leave
     # it unset.
     _interp = bool(os.environ.get("RPE_PALLAS_INTERPRET"))
-    if ((_use_pallas() or _interp)
-            and os.environ.get("RPE_PALLAS_EXTRACT")):
-        # VMEM-resident one-hot selection (ops/extract_pallas.py): the XLA
-        # path below materializes ~1.4 GB/image of one-hot operands in HBM.
-        # Opt-in (RPE_PALLAS_EXTRACT=1) until a real-hardware run validates
+    _want_extract = bool(os.environ.get("RPE_PALLAS_EXTRACT"))
+    _want_t = bool(os.environ.get("RPE_EXTRACT_T"))
+    if (_use_pallas() or _interp) and (_want_extract or _want_t):
+        # Pallas extraction backends (ops/extract_pallas.py); the XLA path
+        # below materializes ~1.4 GB/image of one-hot operands in HBM.
+        # Each family is opt-in until a real-hardware run validates
         # descriptor bit-parity — interpret-mode tests alone don't rule out
-        # a Mosaic layout divergence on the chip.
+        # a Mosaic layout divergence on the chip. RPE_EXTRACT_T selects the
+        # transposed kernel ON ITS OWN (it does not need the one-hot
+        # kernel's RPE_PALLAS_EXTRACT — requiring both silently no-op'd the
+        # first hardware validation of the T family, 08-18).
         slot_of_sorted = jnp.where(keep, flat, 0)             # (K,)
         valid_sorted = jnp.take(valid, order) & keep
-        if (os.environ.get("RPE_EXTRACT_T")
-                and os.environ.get("RPE_EXTRACT_T_BRIEF")):
+        if _want_t and os.environ.get("RPE_EXTRACT_T_BRIEF"):
             # v3: v2 plus steered BRIEF in-kernel — descriptor patches
             # never reach HBM and the XLA one-hot BRIEF einsum stage
             # disappears. Bits match steered_brief_t exactly in interpret
@@ -250,10 +253,12 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
                 "order": order,
                 "valid_sorted": valid_sorted,
             }
-        if os.environ.get("RPE_EXTRACT_T"):
+        if _want_t:
             # v2: zero-FLOP transposed extraction fed straight from the
             # atlases (no windows() materialization); moments in-kernel,
             # blur patches TRANSPOSED — paired with orb.steered_brief_t.
+            # (reaching past here implies _want_extract: the one-hot
+            # kernel family below)
             from .extract_pallas import extract_windows_t
 
             blurp_t, m10, m01 = extract_windows_t(

@@ -29,28 +29,39 @@ _PP = 32          # padded patch edge (31 -> 32 lanes per keypoint slot)
 PATCH_R = 15      # orientation/descriptor patch radius (== orb.PATCH_R)
 
 
-def _extract_kernel(win_ref, x0v_ref, ry_ref, raw_ref, blur_ref):
+def _extract_kernel(win_ref, x0v_ref, ry_ref, raw_ref, blur_ref, t_ref):
     # win_ref: (1, 2*WIN, WP) — rows 0:WIN raw, WIN:2*WIN blurred
-    # x0v_ref: (1, CAP*_PP) int32 column starts per slot lane (dead = -1e6)
-    # ry_ref:  (1, CAP) int32 in SMEM — window-relative row start per slot
+    # x0v_ref: (1, 1, CAP*_PP) int32 column starts per slot lane (dead =
+    #          -1e6); 3-D so the VMEM block's trailing two dims (1, CAP*_PP)
+    #          match the array dims (Mosaic rejects a (1, lanes) block over
+    #          a (NB, lanes) array: sublane block 1 is neither 8-divisible
+    #          nor equal to NB)
+    # ry_ref:  (1, 1, CAP) int32 in SMEM — window-relative row start per
+    #          slot; 3-D for the same trailing-dims rule (it applies to
+    #          SMEM blocks with non-trivial windows too)
     wp = win_ref.shape[2]
     w = win_ref[0]                                       # (2*WIN, WP)
-    x0v = x0v_ref[0]                                     # (CAP*_PP,)
+    x0v = x0v_ref[0, 0]                                  # (CAP*_PP,)
     rows = jax.lax.broadcasted_iota(jnp.int32, (wp, CAP * _PP), 0)
     col = (rows == x0v[None, :]).astype(jnp.float32)     # (WP, CAP*_PP)
-    t = jnp.dot(w, col, preferred_element_type=jnp.float32)  # (2W, CAP*_PP)
+    # stage the selected columns in VMEM scratch: Mosaic has no
+    # dynamic_slice on *values*, only dynamic (pl.ds) loads from refs
+    t_ref[:] = jnp.dot(w, col, preferred_element_type=jnp.float32)
     raws, blurs = [], []
     for c in range(CAP):
-        ry = ry_ref[0, c]
-        raws.append(jax.lax.dynamic_slice(t, (ry, c * _PP), (_PP, _PP)))
-        blurs.append(jax.lax.dynamic_slice(t, (ry + WIN, c * _PP),
-                                           (_PP, _PP)))
+        # parked slots carry rel_y = -band*BAND; the old lax.dynamic_slice
+        # clamped silently, pl.ds does not — clamp to the legit band range
+        # (parked slots' outputs are masked invalid downstream)
+        ry = jnp.clip(ry_ref[0, 0, c], 0, BAND - 1)
+        sl = slice(c * _PP, (c + 1) * _PP)
+        raws.append(t_ref[pl.ds(ry, _PP), sl])
+        blurs.append(t_ref[pl.ds(ry + WIN, _PP), sl])
     raw_ref[0] = jnp.concatenate(raws, axis=1)
     blur_ref[0] = jnp.concatenate(blurs, axis=1)
 
 
 def _extract_moments_kernel(win_ref, x0v_ref, mu_ref, mv_ref, ry_ref,
-                            blur_ref, m10_ref, m01_ref):
+                            blur_ref, m10_ref, m01_ref, t_ref):
     # Variant of _extract_kernel that reduces the raw patch to its two
     # intensity-centroid moments IN VMEM (m10 = sum raw*mask*u, m01 =
     # sum raw*mask*v — ops/orb.ic_angles semantics) and never writes the
@@ -58,23 +69,26 @@ def _extract_moments_kernel(win_ref, x0v_ref, mu_ref, mv_ref, ry_ref,
     # so this saves a 66 MB write + 66 MB read per image at bench shape.
     wp = win_ref.shape[2]
     w = win_ref[0]                                       # (2*WIN, WP)
-    x0v = x0v_ref[0]                                     # (CAP*_PP,)
+    x0v = x0v_ref[0, 0]                                  # (CAP*_PP,)
     rows = jax.lax.broadcasted_iota(jnp.int32, (wp, CAP * _PP), 0)
     col = (rows == x0v[None, :]).astype(jnp.float32)     # (WP, CAP*_PP)
-    t = jnp.dot(w, col, preferred_element_type=jnp.float32)  # (2W, CAP*_PP)
+    t_ref[:] = jnp.dot(w, col, preferred_element_type=jnp.float32)
     mu = mu_ref[:]                                       # (_PP, _PP)
     mv = mv_ref[:]
     blurs, m10s, m01s = [], [], []
     for c in range(CAP):
-        ry = ry_ref[0, c]
-        raw = jax.lax.dynamic_slice(t, (ry, c * _PP), (_PP, _PP))
-        blurs.append(jax.lax.dynamic_slice(t, (ry + WIN, c * _PP),
-                                           (_PP, _PP)))
+        # clamp parked slots' negative rel_y (see _extract_kernel)
+        ry = jnp.clip(ry_ref[0, 0, c], 0, BAND - 1)
+        sl = slice(c * _PP, (c + 1) * _PP)
+        raw = t_ref[pl.ds(ry, _PP), sl]
+        blurs.append(t_ref[pl.ds(ry + WIN, _PP), sl])
         m10s.append(jnp.sum(raw * mu))
         m01s.append(jnp.sum(raw * mv))
     blur_ref[0] = jnp.concatenate(blurs, axis=1)
-    m10_ref[0] = jnp.stack(m10s)
-    m01_ref[0] = jnp.stack(m01s)
+    # moment outputs are (1, 1, CAP) blocks over (NB, 1, CAP) arrays —
+    # a (1, CAP) block over (NB, CAP) violates the same trailing-dims rule
+    m10_ref[0, 0] = jnp.stack(m10s)
+    m01_ref[0, 0] = jnp.stack(m01s)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -92,7 +106,7 @@ def extract_windows_moments(win_raw, win_blur, tbl_x0, rel_y,
     j = jnp.arange(_PP, dtype=jnp.int32)
     x0v = tbl_x0[:, :, None] + j[None, None, :]
     x0v = jnp.where(j[None, None, :] < 31, x0v, -1_000_000)
-    x0v = x0v.reshape(nb, CAP * _PP)
+    x0v = x0v.reshape(nb, 1, CAP * _PP)
     wcat = jnp.concatenate([win_raw, win_blur], axis=1)      # (NB, 2W, WP)
 
     mask_np, us_np, vs_np = _ic_angle_masks()
@@ -103,37 +117,38 @@ def extract_windows_moments(win_raw, win_blur, tbl_x0, rel_y,
         _extract_moments_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((nb, _PP, CAP * _PP), jnp.float32),
-            jax.ShapeDtypeStruct((nb, CAP), jnp.float32),
-            jax.ShapeDtypeStruct((nb, CAP), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, CAP), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, CAP), jnp.float32),
         ),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, 2 * WIN, wp), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CAP * _PP), lambda b: (b, 0),
+            pl.BlockSpec((1, 1, CAP * _PP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_PP, _PP), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_PP, _PP), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CAP), lambda b: (b, 0),
+            pl.BlockSpec((1, 1, CAP), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, _PP, CAP * _PP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CAP), lambda b: (b, 0),
+            pl.BlockSpec((1, 1, CAP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CAP), lambda b: (b, 0),
+            pl.BlockSpec((1, 1, CAP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=[pltpu.VMEM((2 * WIN, CAP * _PP), jnp.float32)],
         interpret=interpret,
-    )(wcat, x0v, mu, mv, rel_y.astype(jnp.int32))
+    )(wcat, x0v, mu, mv, rel_y.astype(jnp.int32).reshape(nb, 1, CAP))
     blur = blur.reshape(nb, _PP, CAP, _PP).transpose(0, 2, 1, 3)
-    return blur, m10, m01
+    return blur, m10.reshape(nb, CAP), m01.reshape(nb, CAP)
 
 
-def _t_extract_slots(planes, x0_ref, ry_ref, mu_ref, mv_ref):
+def _t_extract_slots(planes, x0_ref, ry_ref, mu_ref, mv_ref, wt_ref):
     """Shared transposed-extraction body of _extract_t_kernel and
     _extract_t_brief_kernel (kept in ONE place: this is the trickiest
     VMEM-layout code in the repo — pad-to-128 before the transpose, edge
@@ -165,16 +180,18 @@ def _t_extract_slots(planes, x0_ref, ry_ref, mu_ref, mv_ref):
     w = jnp.concatenate(
         [w, jnp.zeros((128 - 2 * WIN, w.shape[1]), w.dtype)], axis=0)
     wt = jnp.transpose(w)                                    # (WP, 128)
-    # 8 zero rows so the x0 = WP - 31 edge slice stays in bounds
-    wt = jnp.concatenate(
+    # 8 zero rows so the x0 = WP - 31 edge slice stays in bounds; staged
+    # through VMEM scratch because Mosaic only supports dynamic (pl.ds)
+    # slicing on refs, not on values
+    wt_ref[:] = jnp.concatenate(
         [wt, jnp.zeros((BAND, wt.shape[1]), wt.dtype)], axis=0)
     mu = mu_ref[:]                                           # (_PP, _PP) m.T
     mv = mv_ref[:]
     blurs, m10s, m01s = [], [], []
     for c in range(CAP):
-        x0c = x0_ref[0, c]
-        ryc = ry_ref[0, c]
-        xs = jax.lax.dynamic_slice(wt, (x0c, 0), (_PP, 2 * WIN))
+        x0c = x0_ref[0, 0, c]
+        ryc = ry_ref[0, 0, c]
+        xs = wt_ref[pl.ds(x0c, _PP), :]                      # (_PP, 128)
         raw_t = jnp.zeros((_PP, _PP), jnp.float32)
         blur_t = jnp.zeros((_PP, _PP), jnp.float32)
         # exactly one r matches; masked multiply-accumulate (scalar-pred
@@ -193,15 +210,15 @@ def _t_extract_slots(planes, x0_ref, ry_ref, mu_ref, mv_ref):
 
 def _extract_t_kernel(r0, r1, r2, r3, r4, b0, b1, b2, b3, b4,
                       x0_ref, ry_ref, mu_ref, mv_ref,
-                      blur_ref, m10_ref, m01_ref):
+                      blur_ref, m10_ref, m01_ref, wt_ref):
     # v2 kernel: transposed extraction + in-kernel IC moments (see
     # _t_extract_slots for the layout details).
     blurs, m10s, m01s = _t_extract_slots(
         (r0, r1, r2, r3, r4, b0, b1, b2, b3, b4),
-        x0_ref, ry_ref, mu_ref, mv_ref)
+        x0_ref, ry_ref, mu_ref, mv_ref, wt_ref)
     blur_ref[0] = jnp.concatenate(blurs, axis=1)
-    m10_ref[0] = jnp.stack(m10s)
-    m01_ref[0] = jnp.stack(m01s)
+    m10_ref[0, 0] = jnp.stack(m10s)
+    m01_ref[0, 0] = jnp.stack(m01s)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -238,17 +255,19 @@ def extract_windows_t(atlas, blurred, tbl_x0, rel_y, interpret: bool = False):
         _extract_t_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((nb, _PP, CAP * _PP), jnp.float32),
-            jax.ShapeDtypeStruct((nb, CAP), jnp.float32),
-            jax.ShapeDtypeStruct((nb, CAP), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, CAP), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, CAP), jnp.float32),
         ),
         grid=(nb,),
         in_specs=(
             [_block(q) for q in range(nq)]          # raw plane, 5 blocks
             + [_block(q) for q in range(nq)]        # blur plane, 5 blocks
             + [
-                pl.BlockSpec((1, CAP), lambda b: (b, 0),
+                # scalar tables travel (NB, 1, CAP): Mosaic's trailing-dims
+                # block rule applies to SMEM non-trivial windows too
+                pl.BlockSpec((1, 1, CAP), lambda b: (b, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, CAP), lambda b: (b, 0),
+                pl.BlockSpec((1, 1, CAP), lambda b: (b, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((_PP, _PP), lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -259,40 +278,49 @@ def extract_windows_t(atlas, blurred, tbl_x0, rel_y, interpret: bool = False):
         out_specs=(
             pl.BlockSpec((1, _PP, CAP * _PP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CAP), lambda b: (b, 0),
+            pl.BlockSpec((1, 1, CAP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CAP), lambda b: (b, 0),
+            pl.BlockSpec((1, 1, CAP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=[pltpu.VMEM((wp + BAND, 128), jnp.float32)],
         interpret=interpret,
     )(*([atlas] * nq + [blurred] * nq
-        + [tbl_x0.astype(jnp.int32), rel_y.astype(jnp.int32), mu_t, mv_t]))
+        + [tbl_x0.astype(jnp.int32).reshape(nb, 1, CAP),
+           rel_y.astype(jnp.int32).reshape(nb, 1, CAP), mu_t, mv_t]))
     blur = blur.reshape(nb, _PP, CAP, _PP).transpose(0, 2, 1, 3)
-    return blur, m10, m01
+    return blur, m10.reshape(nb, CAP), m01.reshape(nb, CAP)
 
 
 def _extract_t_brief_kernel(quant, r0, r1, r2, r3, r4, b0, b1, b2, b3, b4,
                             x0_ref, ry_ref, mu_ref, mv_ref,
                             patx_ref, paty_ref,
-                            bits_ref, m10_ref, m01_ref):
+                            bits_ref, m10_ref, m01_ref, wt_ref):
     # v3 kernel: _extract_t_kernel + steered BRIEF in-kernel. The blurred
-    # patches never reach HBM: per slot, the IC angle is derived from the
-    # in-kernel moments, the 256-pair pattern is rotated on 256-lane
-    # vectors, and each of the two sample points is fetched with a
-    # one-hot matmul against the VMEM-resident transposed patch (exactly
+    # patches never reach HBM: per slot, the IC rotation (cos/sin) is
+    # derived from the in-kernel moments by normalization (no atan2 —
+    # Mosaic doesn't lower it), the 256-pair pattern is rotated on
+    # 256-lane vectors, and each of the two sample points is fetched with
+    # a one-hot matmul against the VMEM-resident transposed patch (exactly
     # the contraction ops/orb.steered_brief_t runs in XLA, so the bits are
-    # the same wherever Mosaic's atan2/cos/sin/round agree with XLA's —
-    # bit-identical in interpret mode; ULP-level angle differences on
-    # hardware can flip a sample only when round() sits on a .5 boundary).
+    # the same wherever the normalized cos/sin agree with XLA's
+    # arctan2->cos/sin chain — bit-identical in interpret mode up to ULP;
+    # a differing sample needs round() to sit on a .5 boundary).
     # patx/paty: (2, 256) f32 — pattern point j's x/y per pair lane.
     blurs, m10s, m01s = _t_extract_slots(
         (r0, r1, r2, r3, r4, b0, b1, b2, b3, b4),
-        x0_ref, ry_ref, mu_ref, mv_ref)
+        x0_ref, ry_ref, mu_ref, mv_ref, wt_ref)
     m10v = jnp.stack(m10s)[None, :]                          # (1, CAP)
     m01v = jnp.stack(m01s)[None, :]
-    ang = jnp.arctan2(m01v, m10v)
-    cav = jnp.cos(ang)
-    sav = jnp.sin(ang)
+    # cos/sin of atan2(m01, m10) by direct normalization — Mosaic has no
+    # atan2 lowering, and cos(atan2(y, x)) == x/hypot exactly in real
+    # arithmetic (ULP-level differences vs XLA's arctan2->cos/sin chain
+    # can flip a BRIEF sample only on a round() .5 boundary, which the
+    # validation bit-agreement gate covers). atan2(0, 0) = 0 -> (1, 0).
+    r = jnp.sqrt(m10v * m10v + m01v * m01v)
+    rsafe = jnp.where(r > 0.0, r, 1.0)
+    cav = jnp.where(r > 0.0, m10v / rsafe, 1.0)
+    sav = jnp.where(r > 0.0, m01v / rsafe, 0.0)
 
     rows32 = jax.lax.broadcasted_iota(jnp.int32, (_PP, 256), 0)
     bits = []
@@ -318,8 +346,8 @@ def _extract_t_brief_kernel(quant, r0, r1, r2, r3, r4, b0, b1, b2, b3, b4,
             vals.append(jnp.round(v) if quant else v)
         bits.append((vals[0] < vals[1]).astype(jnp.float32))
     bits_ref[0] = jnp.concatenate(bits, axis=0)              # (CAP, 256)
-    m10_ref[0] = jnp.stack(m10s)
-    m01_ref[0] = jnp.stack(m01s)
+    m10_ref[0, 0] = jnp.stack(m10s)
+    m01_ref[0, 0] = jnp.stack(m01s)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "quant"))
@@ -367,17 +395,17 @@ def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
         functools.partial(_extract_t_brief_kernel, quant),
         out_shape=(
             jax.ShapeDtypeStruct((nb, CAP, 256), jnp.float32),
-            jax.ShapeDtypeStruct((nb, CAP), jnp.float32),
-            jax.ShapeDtypeStruct((nb, CAP), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, CAP), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, CAP), jnp.float32),
         ),
         grid=(nb,),
         in_specs=(
             [_block(q) for q in range(nq)]          # raw plane, 5 blocks
             + [_block(q) for q in range(nq)]        # blur plane, 5 blocks
             + [
-                pl.BlockSpec((1, CAP), lambda b: (b, 0),
+                pl.BlockSpec((1, 1, CAP), lambda b: (b, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, CAP), lambda b: (b, 0),
+                pl.BlockSpec((1, 1, CAP), lambda b: (b, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((_PP, _PP), lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -392,16 +420,19 @@ def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
         out_specs=(
             pl.BlockSpec((1, CAP, 256), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CAP), lambda b: (b, 0),
+            pl.BlockSpec((1, 1, CAP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CAP), lambda b: (b, 0),
+            pl.BlockSpec((1, 1, CAP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=[pltpu.VMEM((wp + BAND, 128), jnp.float32)],
         interpret=interpret,
     )(*([atlas] * nq + [blurred] * nq
-        + [tbl_x0.astype(jnp.int32), rel_y.astype(jnp.int32),
+        + [tbl_x0.astype(jnp.int32).reshape(nb, 1, CAP),
+           rel_y.astype(jnp.int32).reshape(nb, 1, CAP),
            mu_t, mv_t, patx, paty]))
-    return bits.astype(jnp.uint8), m10, m01
+    return (bits.astype(jnp.uint8), m10.reshape(nb, CAP),
+            m01.reshape(nb, CAP))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -419,7 +450,7 @@ def extract_windows(win_raw, win_blur, tbl_x0, rel_y, interpret: bool = False):
     # per-slot-lane column index; j >= 31 and parked slots never match
     x0v = tbl_x0[:, :, None] + j[None, None, :]
     x0v = jnp.where(j[None, None, :] < 31, x0v, -1_000_000)
-    x0v = x0v.reshape(nb, CAP * _PP)
+    x0v = x0v.reshape(nb, 1, CAP * _PP)
 
     wcat = jnp.concatenate([win_raw, win_blur], axis=1)      # (NB, 2W, WP)
 
@@ -431,9 +462,9 @@ def extract_windows(win_raw, win_blur, tbl_x0, rel_y, interpret: bool = False):
         in_specs=[
             pl.BlockSpec((1, 2 * WIN, wp), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CAP * _PP), lambda b: (b, 0),
+            pl.BlockSpec((1, 1, CAP * _PP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CAP), lambda b: (b, 0),
+            pl.BlockSpec((1, 1, CAP), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(
@@ -442,8 +473,9 @@ def extract_windows(win_raw, win_blur, tbl_x0, rel_y, interpret: bool = False):
             pl.BlockSpec((1, _PP, CAP * _PP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=[pltpu.VMEM((2 * WIN, CAP * _PP), jnp.float32)],
         interpret=interpret,
-    )(wcat, x0v, rel_y.astype(jnp.int32))
+    )(wcat, x0v, rel_y.astype(jnp.int32).reshape(nb, 1, CAP))
 
     raw = raw.reshape(nb, _PP, CAP, _PP).transpose(0, 2, 1, 3)
     blur = blur.reshape(nb, _PP, CAP, _PP).transpose(0, 2, 1, 3)

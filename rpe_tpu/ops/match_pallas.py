@@ -23,8 +23,10 @@ Equivalence with ops/match.py `cross_check_match`:
     masks fold into the norm vectors as +_BIG (at f32 precision _BIG
     absorbs every subsequent +-O(512) term — ulp(_BIG) ~ 3e31 — so masked
     lanes reproduce the XLA path's exact _BIG sentinel), and ties resolve
-    to the lowest index as jnp.argmin does: within a tile via jnp.argmin,
-    across tiles via a strict `<` carry update.
+    to the lowest index as jnp.argmin does: within a tile via an explicit
+    min-of-iota-where-minimal reduction (Mosaic's own argmin tie-break is
+    unspecified — a hardware run drifted 2/512 indices vs XLA on equal
+    distances), across tiles via a strict `<` carry update.
   * L2: equal match sets up to f32 matmul reassociation — exact-duplicate
     descriptors (distance ~0 ties) may resolve to a different equally-near
     neighbor than the XLA path's clamped matrix.
@@ -49,6 +51,11 @@ _TILE = 128  # rows of desc1 per grid step (VMEM: ~2 MB dot tile at N2=4096)
 
 def _match_kernel(a_ref, b_ref, nam_ref, nbm_ref,
                   rmin_ref, rarg_ref, cmin_ref, carg_ref):
+    # Row-indexed vectors travel as (N1, 1) columns and column-indexed ones
+    # as (1, N2) rows: 1-D f32 operands get an XLA layout tile (T(1024))
+    # that Mosaic's (T(128)) lowering rejects, and the 2-D shapes also keep
+    # every reduction layout-natural (keepdims output lands directly in the
+    # block, no sublane<->lane relayout).
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -61,16 +68,25 @@ def _match_kernel(a_ref, b_ref, nam_ref, nbm_ref,
         a_ref[:], b_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
 
-    # rows: argmin_j (|b_j| - 2 a_i.b_j), invalid j masked to _BIG via nbm
-    dr = nbm_ref[:][None, :] + dot2
-    rmin_ref[:] = jnp.min(dr, axis=1)
-    rarg_ref[:] = jnp.argmin(dr, axis=1).astype(jnp.int32)
+    # rows: argmin_j (|b_j| - 2 a_i.b_j), invalid j masked to _BIG via nbm.
+    # First-occurrence argmin is spelled out as min(iota where minimal):
+    # the equality test is exact (the min is a copied element, no
+    # arithmetic), and an all-_BIG row reduces to lane 0 like XLA's
+    # argmin-of-constant.
+    dr = nbm_ref[:] + dot2                                    # (1,N2)+bcast
+    lanes = jax.lax.broadcasted_iota(jnp.int32, dr.shape, 1)
+    rmin = jnp.min(dr, axis=1, keepdims=True)
+    rmin_ref[:] = rmin
+    rarg_ref[:] = jnp.min(jnp.where(dr == rmin, lanes, jnp.int32(2**30)),
+                          axis=1, keepdims=True)
 
     # columns: argmin_i (|a_i| - 2 a_i.b_j), carried across tiles
-    dc = nam_ref[:][:, None] + dot2
-    cmin_tile = jnp.min(dc, axis=0)
-    carg_tile = jnp.argmin(dc, axis=0).astype(jnp.int32) + i * _TILE
-    upd = cmin_tile < cmin_ref[:]
+    dc = nam_ref[:] + dot2                                    # (TILE,1)+bcast
+    subl = jax.lax.broadcasted_iota(jnp.int32, dc.shape, 0)
+    cmin_tile = jnp.min(dc, axis=0, keepdims=True)
+    carg_tile = (jnp.min(jnp.where(dc == cmin_tile, subl, jnp.int32(2**30)),
+                         axis=0, keepdims=True) + i * _TILE)
+    upd = cmin_tile < cmin_ref[:]   # strict: earlier tile wins ties
     cmin_ref[:] = jnp.where(upd, cmin_tile, cmin_ref[:])
     carg_ref[:] = jnp.where(upd, carg_tile, carg_ref[:])
 
@@ -80,14 +96,16 @@ def _ratio_kernel(a_ref, b_ref, nbm_ref, d1_ref, a1_ref, d2_ref):
     dot2 = -2.0 * jax.lax.dot_general(
         a_ref[:], b_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    dr = nbm_ref[:][None, :] + dot2
-    d1 = jnp.min(dr, axis=1)
-    a1 = jnp.argmin(dr, axis=1).astype(jnp.int32)
+    dr = nbm_ref[:] + dot2                                    # (1,N2)+bcast
     lanes = jax.lax.broadcasted_iota(jnp.int32, dr.shape, 1)
-    dr2 = jnp.where(lanes == a1[:, None], _BIG, dr)
+    d1 = jnp.min(dr, axis=1, keepdims=True)                   # (TILE,1)
+    # first-occurrence argmin (see _match_kernel)
+    a1 = jnp.min(jnp.where(dr == d1, lanes, jnp.int32(2**30)),
+                 axis=1, keepdims=True)
+    dr2 = jnp.where(lanes == a1, _BIG, dr)
     d1_ref[:] = d1
     a1_ref[:] = a1
-    d2_ref[:] = jnp.min(dr2, axis=1)
+    d2_ref[:] = jnp.min(dr2, axis=1, keepdims=True)
 
 
 def _row_top2(a, b, na, nb, valid1, valid2, interpret: bool):
@@ -96,27 +114,28 @@ def _row_top2(a, b, na, nb, valid1, valid2, interpret: bool):
     n1, d = a.shape
     n2 = b.shape[0]
     assert n1 % _TILE == 0, f"N1={n1} must be a multiple of {_TILE}"
-    nbm = jnp.where(valid2, nb, _BIG)
+    nbm = jnp.where(valid2, nb, _BIG).reshape(1, n2)
     grid = (n1 // _TILE,)
-    row_block = pl.BlockSpec((_TILE,), lambda i: (i,),
-                             memory_space=pltpu.VMEM)
+    col_vec = pl.BlockSpec((_TILE, 1), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
     d1, a1, d2 = pl.pallas_call(
         _ratio_kernel,
-        out_shape=(jax.ShapeDtypeStruct((n1,), jnp.float32),
-                   jax.ShapeDtypeStruct((n1,), jnp.int32),
-                   jax.ShapeDtypeStruct((n1,), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((n1, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((n1, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((n1, 1), jnp.float32)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((_TILE, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n2, d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n2,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=(row_block, row_block, row_block),
+        out_specs=(col_vec, col_vec, col_vec),
         interpret=interpret,
     )(a, b, nbm)
-    return d1 + na, a1, d2 + na
+    return d1[:, 0] + na, a1[:, 0], d2[:, 0] + na
 
 
 @functools.partial(jax.jit,
@@ -164,31 +183,33 @@ def _mutual_nn(a, b, na, nb, valid1, valid2, interpret: bool):
     n1, d = a.shape
     n2 = b.shape[0]
     assert n1 % _TILE == 0, f"N1={n1} must be a multiple of {_TILE}"
-    nam = jnp.where(valid1, na, _BIG)
-    nbm = jnp.where(valid2, nb, _BIG)
+    nam = jnp.where(valid1, na, _BIG).reshape(n1, 1)
+    nbm = jnp.where(valid2, nb, _BIG).reshape(1, n2)
 
     grid = (n1 // _TILE,)
     full_b = pl.BlockSpec((n2, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    row_block = pl.BlockSpec((_TILE,), lambda i: (i,),
-                             memory_space=pltpu.VMEM)
-    col_block = pl.BlockSpec((n2,), lambda i: (0,), memory_space=pltpu.VMEM)
+    col_vec = pl.BlockSpec((_TILE, 1), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    row_vec = pl.BlockSpec((1, n2), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
     rmin, rarg, _, carg = pl.pallas_call(
         _match_kernel,
-        out_shape=(jax.ShapeDtypeStruct((n1,), jnp.float32),
-                   jax.ShapeDtypeStruct((n1,), jnp.int32),
-                   jax.ShapeDtypeStruct((n2,), jnp.float32),
-                   jax.ShapeDtypeStruct((n2,), jnp.int32)),
+        out_shape=(jax.ShapeDtypeStruct((n1, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((n1, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((1, n2), jnp.float32),
+                   jax.ShapeDtypeStruct((1, n2), jnp.int32)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((_TILE, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             full_b,
-            row_block,
-            col_block,
+            col_vec,
+            row_vec,
         ],
-        out_specs=(row_block, row_block, col_block, col_block),
+        out_specs=(col_vec, col_vec, row_vec, row_vec),
         interpret=interpret,
     )(a, b, nam, nbm)
+    rmin, rarg, carg = rmin[:, 0], rarg[:, 0], carg[0]
     # restore the row-constant |a| term; masked rows/all-masked columns land
     # exactly on _BIG (absorbed at f32 precision)
     best_d = rmin + na

@@ -52,17 +52,21 @@ def test_pass_enables_gates_but_not_tbrief(tmp_path):
         assert os.environ.get("RPE_EXTRACT_T_BRIEF") is None
 
 
-def test_tbrief_marker_enables_tbrief(tmp_path):
+def test_tbrief_marker_never_adopted(tmp_path):
+    """T_BRIEF is validated-but-not-auto-adopted: its Mosaic-transcendental
+    ULP flips can change descriptor bits, so adoption needs an explicit
+    dataset accuracy A/B. Its marker must enable nothing — only an
+    explicit operator RPE_EXTRACT_T_BRIEF=1 turns it on."""
     bench = _bench()
     log = tmp_path / "v.log"
-    log.write_text("T_BRIEF PASS\nVALIDATION PASS\n")
+    log.write_text("T_BRIEF3 PASS\nVALIDATION PASS\n")
     patch, keys = _clean_env()
     with patch:
         for k in keys:
             os.environ.pop(k, None)
         with mock.patch.object(bench, "_VALIDATE_LOG", str(log)):
             assert bench._enable_validated_kernels() is True
-        assert os.environ.get("RPE_EXTRACT_T_BRIEF") == "1"
+        assert os.environ.get("RPE_EXTRACT_T_BRIEF") is None
 
 
 def test_operator_choice_wins(tmp_path):
@@ -119,10 +123,10 @@ def test_partial_markers_enable_exact_subset(tmp_path):
 
 
 def test_extract_t_marker_does_not_leak_into_extract(tmp_path):
-    """Substring safety: 'EXTRACT_T PASS' must not read as 'EXTRACT PASS'."""
+    """Substring safety: 'EXTRACT_T3 PASS' must not read as 'EXTRACT PASS'."""
     bench = _bench()
     log = tmp_path / "v.log"
-    log.write_text("EXTRACT_T PASS  [500s]\n")
+    log.write_text("EXTRACT_T3 PASS  [500s]\n")
     patch, keys = _clean_env()
     with patch:
         for k in keys:
@@ -131,6 +135,22 @@ def test_extract_t_marker_does_not_leak_into_extract(tmp_path):
             assert bench._enable_validated_kernels() is True
         assert os.environ.get("RPE_EXTRACT_T") == "1"
         assert os.environ.get("RPE_PALLAS_EXTRACT") is None
+
+
+def test_stale_vacuous_extract_t_marker_ignored(tmp_path):
+    """The retired 'EXTRACT_T PASS' marker (recorded 08-18 by a run where
+    the dispatch no-op'd RPE_EXTRACT_T and the section compared the XLA
+    path against itself) must never enable the now-meaningful gate."""
+    bench = _bench()
+    log = tmp_path / "v.log"
+    log.write_text("EXTRACT_T PASS  [200s]\nT_BRIEF PASS  [34s]\n")
+    patch, keys = _clean_env()
+    with patch:
+        for k in keys:
+            os.environ.pop(k, None)
+        with mock.patch.object(bench, "_VALIDATE_LOG", str(log)):
+            assert bench._enable_validated_kernels() is False
+        assert not any(os.environ.get(k) for k in keys)
 
 
 def test_wait_respects_chain_lock(tmp_path):

@@ -333,23 +333,27 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
                  == (crely[:, :, None, None] + pj[None, None, :, None]))
         rowoh = rowoh.astype(_oh_dtype)
 
-        # One-hot selection: exactly one nonzero product per output, so
-        # DEFAULT precision (bf16x3 decomposition, ~f32-exact for image
-        # values) suffices — HIGHEST doubles the MXU passes for nothing.
-        # Raw and blurred windows are STACKED along the row axis so the
-        # lane-selection matmul runs once at M=2*WIN=80. (Perf-neutral in
-        # practice — the stage is bound by the materialized one-hot operand
-        # traffic, not the matmul — but it halves the op count and shares
-        # the `col` operand explicitly.)
+        # One-hot selection MUST run at HIGHEST precision: TPU DEFAULT
+        # matmul truncates f32 inputs to single-pass bf16, which QUANTIZES
+        # every extracted pixel to 8 mantissa bits (measured 08-18 on the
+        # real chip: max |err| 0.5 on 0..255 pixels, every patch affected —
+        # the "bf16x3 is the default" belief this comment used to state was
+        # wrong). HIGHEST (3-pass decomposition) reproduces f32 exactly for
+        # a 0/1 selection operand; the stage is bound by one-hot operand
+        # traffic, not MXU passes. Raw and blurred windows are STACKED
+        # along the row axis so the lane-selection matmul runs once at
+        # M=2*WIN=80.
         wcat = jnp.concatenate([wr, wb], axis=1)              # (NBC, 2W, WP)
         t = jnp.einsum("bvx,bxm->bvm", wcat, col,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
         t = t.reshape(wr.shape[0], 2, WIN, CAP, patch)
 
         def sel_rows(tw):
             # rows: (NBC, CAP, patch_i, patch_j)
             return jnp.einsum("bciv,bvcj->bcij", rowoh, tw,
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
 
         return sel_rows(t[:, 0]), sel_rows(t[:, 1])
 
@@ -383,4 +387,9 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
         "slot_of_sorted": slot_of_sorted,
         "order": order,              # original-index of sorted keypoint i
         "valid_sorted": valid_sorted,
+        # slot tables, exposed so hardware parity probes can drive the
+        # Pallas extraction kernels on the exact same inputs
+        "tbl_x0": tbl_x0,            # (NB, CAP) int32 column starts
+        "rel_y": _rel_y,             # (NB, CAP) int32 in-window row starts
+        "tbl_used": tbl_used,        # (NB, CAP) bool live-slot mask
     }

@@ -10,7 +10,11 @@ slice — HBM traffic drops to the windows + patches themselves.
 
 Replaces only the window-selection math; banding, CAP-slot assignment and
 ordering stay in ops/atlas.py (shared with the XLA fallback path), so the
-outputs are bit-identical (one-hot selection is exact in every precision).
+outputs are bit-identical — PROVIDED the selection contractions run at
+HIGHEST precision: on TPU both XLA's and Mosaic's default f32 matmul is a
+single bf16 pass, which quantizes every selected pixel to 8 mantissa bits
+(measured on hardware 08-18; preferred_element_type only sets the
+accumulator type).
 """
 
 from __future__ import annotations
@@ -29,7 +33,7 @@ _PP = 32          # padded patch edge (31 -> 32 lanes per keypoint slot)
 PATCH_R = 15      # orientation/descriptor patch radius (== orb.PATCH_R)
 
 
-def _extract_kernel(win_ref, x0v_ref, ry_ref, raw_ref, blur_ref, t_ref):
+def _extract_kernel(win_ref, x0v_ref, ry_ref, raw_ref, blur_ref):
     # win_ref: (1, 2*WIN, WP) — rows 0:WIN raw, WIN:2*WIN blurred
     # x0v_ref: (1, 1, CAP*_PP) int32 column starts per slot lane (dead =
     #          -1e6); 3-D so the VMEM block's trailing two dims (1, CAP*_PP)
@@ -44,24 +48,37 @@ def _extract_kernel(win_ref, x0v_ref, ry_ref, raw_ref, blur_ref, t_ref):
     x0v = x0v_ref[0, 0]                                  # (CAP*_PP,)
     rows = jax.lax.broadcasted_iota(jnp.int32, (wp, CAP * _PP), 0)
     col = (rows == x0v[None, :]).astype(jnp.float32)     # (WP, CAP*_PP)
-    # stage the selected columns in VMEM scratch: Mosaic has no
-    # dynamic_slice on *values*, only dynamic (pl.ds) loads from refs
-    t_ref[:] = jnp.dot(w, col, preferred_element_type=jnp.float32)
+    # HIGHEST: Mosaic's default f32 dot is single-pass bf16 (hardware
+    # bit-agreement 0.98327 on 08-18 — preferred_element_type only sets
+    # the accumulator); HIGHEST makes the one-hot selection exact, as it
+    # provably does for the T_BRIEF sampling dot (1.00000 same run)
+    t = jnp.dot(w, col, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)     # (2W, CAP*_PP)
     raws, blurs = [], []
     for c in range(CAP):
-        # parked slots carry rel_y = -band*BAND; the old lax.dynamic_slice
-        # clamped silently, pl.ds does not — clamp to the legit band range
-        # (parked slots' outputs are masked invalid downstream)
-        ry = jnp.clip(ry_ref[0, 0, c], 0, BAND - 1)
-        sl = slice(c * _PP, (c + 1) * _PP)
-        raws.append(t_ref[pl.ds(ry, _PP), sl])
-        blurs.append(t_ref[pl.ds(ry + WIN, _PP), sl])
+        # row select by 8-way masked accumulate over STATIC slices: Mosaic
+        # rejects dynamic sublane starts on partial-lane (32-lane) vectors
+        # ("cannot statically prove index is a multiple of 8", measured
+        # 08-18) — the same pattern _t_extract_slots compiles with. Parked
+        # slots carry rel_y <= 0 outside 1..BAND-1 and simply accumulate
+        # nothing past r=0 (their outputs are masked invalid downstream).
+        ry = ry_ref[0, 0, c]
+        raw = jnp.zeros((_PP, _PP), jnp.float32)
+        blur = jnp.zeros((_PP, _PP), jnp.float32)
+        for r in range(BAND):
+            sel = (ry == r).astype(jnp.float32)
+            raw = raw + sel * jax.lax.slice(
+                t, (r, c * _PP), (r + _PP, (c + 1) * _PP))
+            blur = blur + sel * jax.lax.slice(
+                t, (WIN + r, c * _PP), (WIN + r + _PP, (c + 1) * _PP))
+        raws.append(raw)
+        blurs.append(blur)
     raw_ref[0] = jnp.concatenate(raws, axis=1)
     blur_ref[0] = jnp.concatenate(blurs, axis=1)
 
 
 def _extract_moments_kernel(win_ref, x0v_ref, mu_ref, mv_ref, ry_ref,
-                            blur_ref, m10_ref, m01_ref, t_ref):
+                            blur_ref, m10_ref, m01_ref):
     # Variant of _extract_kernel that reduces the raw patch to its two
     # intensity-centroid moments IN VMEM (m10 = sum raw*mask*u, m01 =
     # sum raw*mask*v — ops/orb.ic_angles semantics) and never writes the
@@ -72,16 +89,27 @@ def _extract_moments_kernel(win_ref, x0v_ref, mu_ref, mv_ref, ry_ref,
     x0v = x0v_ref[0, 0]                                  # (CAP*_PP,)
     rows = jax.lax.broadcasted_iota(jnp.int32, (wp, CAP * _PP), 0)
     col = (rows == x0v[None, :]).astype(jnp.float32)     # (WP, CAP*_PP)
-    t_ref[:] = jnp.dot(w, col, preferred_element_type=jnp.float32)
+    # HIGHEST: Mosaic's default f32 dot is single-pass bf16 (hardware
+    # bit-agreement 0.98327 on 08-18 — preferred_element_type only sets
+    # the accumulator); HIGHEST makes the one-hot selection exact, as it
+    # provably does for the T_BRIEF sampling dot (1.00000 same run)
+    t = jnp.dot(w, col, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)     # (2W, CAP*_PP)
     mu = mu_ref[:]                                       # (_PP, _PP)
     mv = mv_ref[:]
     blurs, m10s, m01s = [], [], []
     for c in range(CAP):
-        # clamp parked slots' negative rel_y (see _extract_kernel)
-        ry = jnp.clip(ry_ref[0, 0, c], 0, BAND - 1)
-        sl = slice(c * _PP, (c + 1) * _PP)
-        raw = t_ref[pl.ds(ry, _PP), sl]
-        blurs.append(t_ref[pl.ds(ry + WIN, _PP), sl])
+        # 8-way masked accumulate over static slices (see _extract_kernel)
+        ry = ry_ref[0, 0, c]
+        raw = jnp.zeros((_PP, _PP), jnp.float32)
+        blur = jnp.zeros((_PP, _PP), jnp.float32)
+        for r in range(BAND):
+            sel = (ry == r).astype(jnp.float32)
+            raw = raw + sel * jax.lax.slice(
+                t, (r, c * _PP), (r + _PP, (c + 1) * _PP))
+            blur = blur + sel * jax.lax.slice(
+                t, (WIN + r, c * _PP), (WIN + r + _PP, (c + 1) * _PP))
+        blurs.append(blur)
         m10s.append(jnp.sum(raw * mu))
         m01s.append(jnp.sum(raw * mv))
     blur_ref[0] = jnp.concatenate(blurs, axis=1)
@@ -141,7 +169,6 @@ def extract_windows_moments(win_raw, win_blur, tbl_x0, rel_y,
             pl.BlockSpec((1, 1, CAP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((2 * WIN, CAP * _PP), jnp.float32)],
         interpret=interpret,
     )(wcat, x0v, mu, mv, rel_y.astype(jnp.int32).reshape(nb, 1, CAP))
     blur = blur.reshape(nb, _PP, CAP, _PP).transpose(0, 2, 1, 3)
@@ -340,7 +367,8 @@ def _extract_t_brief_kernel(quant, r0, r1, r2, r3, r4, b0, b1, b2, b3, b4,
             uoh = (rows32 == ix).astype(jnp.float32)         # (_PP, 256)
             voh = (rows32 == iy).astype(jnp.float32)
             q = jnp.dot(blurs[c], voh,
-                        preferred_element_type=jnp.float32)  # (_PP, 256)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # (_PP, 256)
             v = jnp.sum(uoh * q, axis=0, keepdims=True)
             # mirror orb._brief_bits's cv2-interop quantization (static)
             vals.append(jnp.round(v) if quant else v)
@@ -473,7 +501,6 @@ def extract_windows(win_raw, win_blur, tbl_x0, rel_y, interpret: bool = False):
             pl.BlockSpec((1, _PP, CAP * _PP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((2 * WIN, CAP * _PP), jnp.float32)],
         interpret=interpret,
     )(wcat, x0v, rel_y.astype(jnp.int32).reshape(nb, 1, CAP))
 

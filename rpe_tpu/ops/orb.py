@@ -214,10 +214,13 @@ def steered_brief(patches_blur, angles, quant: bool | None = None):
     element-at-a-time gather TPUs execute poorly.
     """
     row_oh, col_oh = _brief_onehots(angles)
-    # One-hot selection: exactly one nonzero product per output; DEFAULT
-    # (bf16x3) precision reconstructs image-derived f32 values exactly.
+    # One-hot selection at HIGHEST precision: TPU DEFAULT truncates f32
+    # inputs to single-pass bf16, quantizing the sampled pixel to 8
+    # mantissa bits (see atlas.per_band_chunk — measured on hardware
+    # 08-18); HIGHEST reproduces the f32 value exactly for 0/1 operands.
     tmp = jnp.einsum("ksy,kyx->ksx", row_oh, patches_blur,
-                     preferred_element_type=jnp.float32)     # (K, S, P)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)    # (K, S, P)
     vals = jnp.sum(tmp * col_oh, axis=-1)                    # (K, S)
     return _brief_bits(vals, quant=quant)
 
@@ -229,8 +232,11 @@ def steered_brief_t(patches_blur_t, angles, quant: bool | None = None):
     contraction order), so the bits are bit-identical to
     steered_brief(patches, angles) with patches = transpose(patches_t)."""
     row_oh, col_oh = _brief_onehots(angles)
+    # HIGHEST precision for the same exact-selection reason as
+    # steered_brief (TPU DEFAULT would bf16-quantize the samples)
     tmp = jnp.einsum("ksx,kxy->ksy", col_oh, patches_blur_t,
-                     preferred_element_type=jnp.float32)     # (K, S, P)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)    # (K, S, P)
     vals = jnp.sum(tmp * row_oh, axis=-1)                    # (K, S)
     return _brief_bits(vals, quant=quant)
 

@@ -12,9 +12,10 @@ grep -q "^EXTRACT PASS" "$LOG" 2>/dev/null && export RPE_PALLAS_EXTRACT=1
 # a run where the dispatch no-op'd the gate, validating XLA against itself)
 grep -q "^EXTRACT_T3 PASS" "$LOG" 2>/dev/null && export RPE_EXTRACT_T=1
 grep -q "^MATCH PASS" "$LOG" 2>/dev/null && export RPE_PALLAS_MATCH=1
-# T_BRIEF: validated but NOT adopted — identical timing to EXTRACT_T on
-# hardware (08-18) and its Mosaic-transcendental ULP flips drifted the
-# simulator golden 0.72 -> 1.08 deg mean. See bench.py _MARKER_GATES.
+# T_BRIEF: adopted only after the dataset-level A/B (the sim drift once
+# blamed on its ULP flips was actually the evaluator's bf16 metric bug —
+# docs/PERF_LOG.md round-3 postmortem). See bench.py _MARKER_GATES.
+grep -q "^T_BRIEF3 CSV-AB PASS" "$LOG" 2>/dev/null && export RPE_EXTRACT_T_BRIEF=1
 env | grep RPE_
 
 timeout 5400 python .scratch/tpu_stage_probe.py > /tmp/stage_r3.log 2>&1

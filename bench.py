@@ -252,10 +252,12 @@ _MARKER_GATES = (
     # line can never enable the (still unvalidated) kernel.
     ("EXTRACT_T3 PASS", "RPE_EXTRACT_T"),
     ("MATCH PASS", "RPE_PALLAS_MATCH"),
-    # T_BRIEF3 is deliberately NOT auto-adopted even on PASS: its Mosaic
-    # atan2/round ULP differences can flip descriptor bits vs the XLA
-    # BRIEF, so it needs an explicit accuracy A/B on the datasets first
-    # (only an operator's explicit RPE_EXTRACT_T_BRIEF=1 turns it on).
+    # T_BRIEF3 needs BOTH its kernel PASS and the dataset-level CSV A/B
+    # marker (bit-identical simulator run vs the T path — appended to the
+    # log by the regen flow): its Mosaic atan2/round ULP differences could
+    # in principle flip descriptor bits vs the XLA BRIEF, so single-image
+    # bit-parity alone doesn't clear it.
+    ("T_BRIEF3 CSV-AB PASS", "RPE_EXTRACT_T_BRIEF"),
 )
 
 

@@ -56,6 +56,14 @@ class RansacConfig:
     # the Salah dataset produced 19 catastrophic pairs with 8pt vs 4 for
     # the reference; 5pt matches OpenCV within ~1-3 deg on those pairs)
     # | "8pt" (faster; fine for non-planar scenes)
+    zero_motion_px: float = 0.5   # static-pair gate: when the MEDIAN pixel
+    # flow over valid matches is below this, the pair is declared
+    # zero-motion and R=I, t=[0,0,1] is returned instead of the essential
+    # decomposition (which is undefined at zero baseline — the reference
+    # scores 180 deg on the simulator dataset's 5 static-tail pairs,
+    # evaluation-runs/simulator-data/results/evaluation_results.csv rows
+    # 810-870). 0 disables (restores reference behavior). Documented
+    # deviation: PARITY.md "zero-motion pairs".
 
 
 @dataclasses.dataclass(frozen=True)

@@ -14,6 +14,7 @@ count toward cheirality.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .epipolar import project_to_essential
@@ -29,8 +30,11 @@ def decompose_essential(E):
     """
     _, U, Vt = project_to_essential(E)
     W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], dtype=E.dtype)
-    R1 = jnp.matmul(U, jnp.matmul(W, Vt))
-    R2 = jnp.matmul(U, jnp.matmul(W.T, Vt))
+    # 3x3 HIGHEST matmuls: a bf16 pass here breaks R orthonormality at
+    # 1e-3 when called outside the estimator's highest-precision scope
+    _hi = jax.lax.Precision.HIGHEST
+    R1 = jnp.matmul(U, jnp.matmul(W, Vt, precision=_hi), precision=_hi)
+    R2 = jnp.matmul(U, jnp.matmul(W.T, Vt, precision=_hi), precision=_hi)
     t = U[..., :, 2]
     return R1, R2, t
 

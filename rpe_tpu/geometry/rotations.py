@@ -14,6 +14,7 @@ Angles are degrees at the API boundary (as in the reference).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 CONVENTION_YUP = "yup"
@@ -153,7 +154,8 @@ def so3_exp(w):
         jnp.stack([-wy, wx, zeros], -1),
     ], axis=-2)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
-    return eye + A[..., None, None] * K + B[..., None, None] * (K @ K)
+    KK = jnp.matmul(K, K, precision=jax.lax.Precision.HIGHEST)
+    return eye + A[..., None, None] * K + B[..., None, None] * KK
 
 
 def so3_log(R):
@@ -184,7 +186,13 @@ def rotation_error(R_est, R_gt):
     Mirrors reference src/utils/geometry.py:128-149 (including the clip).
     Batched over leading dims.
     """
-    R_diff = jnp.matmul(R_est, jnp.swapaxes(R_gt, -1, -2))
+    # HIGHEST precision is load-bearing: TPU's default f32 matmul is a
+    # single bf16 pass, and arccos amplifies its 2^-8 quantization into a
+    # ~4.75 deg FLOOR at theta=0 (cos 4.752 deg = 1 - 2^-8 + eps; measured
+    # on the simulator static-tail pairs, where the TPU-run evaluator
+    # reported 4.752 for an exactly-identity relative pose).
+    R_diff = jnp.matmul(R_est, jnp.swapaxes(R_gt, -1, -2),
+                        precision=jax.lax.Precision.HIGHEST)
     trace = R_diff[..., 0, 0] + R_diff[..., 1, 1] + R_diff[..., 2, 2]
     cos_angle = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
     return _rad2deg(jnp.arccos(cos_angle))
@@ -211,3 +219,68 @@ def translation_direction_error(t_est, t_gt):
 def wrap_angle_error(error_deg):
     """abs(((e + 180) mod 360) - 180) — reference src/core/pose_evaluator.py:186-198."""
     return jnp.abs(((jnp.asarray(error_deg) + 180.0) % 360.0) - 180.0)
+
+
+# ---------------------------------------------------------------------------
+# float64 numpy twins — host-side EVALUATION metrics
+# ---------------------------------------------------------------------------
+# The evaluator must be device-independent: routing these 3x3 metrics
+# through jnp runs them on the session's default backend in f32 (and, at
+# default matmul precision, a TPU run put a spurious ~4.75 deg floor under
+# every CSV it wrote — arccos amplifies the single-pass-bf16 2^-8 trace
+# error; see rotation_error). The reference computes them in f64 numpy
+# (src/utils/geometry.py:128-174); these twins reproduce its formulas
+# exactly and are what pipeline/evaluator.py uses.
+
+def euler_to_rotation_np(yaw_deg, pitch_deg, roll_deg,
+                         convention=CONVENTION_YUP):
+    """float64 numpy twin of euler_to_rotation (same closed forms)."""
+    import numpy as np
+
+    y = np.deg2rad(np.asarray(yaw_deg, np.float64))
+    p = np.deg2rad(np.asarray(pitch_deg, np.float64))
+    r = np.deg2rad(np.asarray(roll_deg, np.float64))
+    cy, sy = np.cos(y), np.sin(y)
+    cp, sp = np.cos(p), np.sin(p)
+    cr, sr = np.cos(r), np.sin(r)
+    if convention == CONVENTION_ZYX:
+        rows = [
+            np.stack([cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr], -1),
+            np.stack([sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr], -1),
+            np.stack([-sp, cp * sr, cp * cr], -1),
+        ]
+    else:
+        rows = [
+            np.stack([cy * cr + sy * sp * sr, -cy * sr + sy * sp * cr, sy * cp], -1),
+            np.stack([cp * sr, cp * cr, -sp], -1),
+            np.stack([-sy * cr + cy * sp * sr, sy * sr + cy * sp * cr, cy * cp], -1),
+        ]
+    return np.stack(rows, axis=-2)
+
+
+def rotation_error_np(R_est, R_gt):
+    """float64 numpy twin of rotation_error (reference geometry.py:128-149)."""
+    import numpy as np
+
+    R_est = np.asarray(R_est, np.float64)
+    R_gt = np.asarray(R_gt, np.float64)
+    R_diff = np.matmul(R_est, np.swapaxes(R_gt, -1, -2))
+    trace = R_diff[..., 0, 0] + R_diff[..., 1, 1] + R_diff[..., 2, 2]
+    return np.degrees(np.arccos(np.clip((trace - 1.0) * 0.5, -1.0, 1.0)))
+
+
+def translation_direction_error_np(t_est, t_gt):
+    """float64 numpy twin of translation_direction_error
+    (reference geometry.py:152-174)."""
+    import numpy as np
+
+    t_est = np.asarray(t_est, np.float64)
+    t_gt = np.asarray(t_gt, np.float64)
+    if t_est.ndim >= 2 and t_est.shape[-1] == 1:
+        t_est = t_est.reshape(*t_est.shape[:-2], -1)
+    if t_gt.ndim >= 2 and t_gt.shape[-1] == 1:
+        t_gt = t_gt.reshape(*t_gt.shape[:-2], -1)
+    e = t_est / (np.linalg.norm(t_est, axis=-1, keepdims=True) + _EPS)
+    g = t_gt / (np.linalg.norm(t_gt, axis=-1, keepdims=True) + _EPS)
+    dot = np.clip(np.sum(e * g, axis=-1), -1.0, 1.0)
+    return np.degrees(np.arccos(dot))

@@ -283,9 +283,13 @@ def optimize_rotation_from_vps_jit(R_init, Delta_cam, D_world,
     Dc = jnp.asarray(Delta_cam, jnp.float32)
     Dw = jnp.asarray(D_world, jnp.float32)
 
+    _hi = jax.lax.Precision.HIGHEST   # 3x3 algebra: TPU default f32
+    # matmul is a single bf16 pass — quantized LM steps random-walk the
+    # iterate and poison the cost-improvement acceptance test
+
     def step(carry, _):
         R, frozen = carry
-        u = R @ Dw                                        # (3, 3) columns
+        u = jnp.matmul(R, Dw, precision=_hi)              # (3, 3) columns
         s = jnp.clip(jnp.sum(Dc * u, axis=0), -1.0, 1.0)
         cross = jnp.cross(Dc.T, u.T)                      # (3, 3) rows
         # arccos(s) and sqrt(1-s^2) cancel catastrophically in f32 near
@@ -296,12 +300,14 @@ def optimize_rotation_from_vps_jit(R_init, Delta_cam, D_world,
         r = jnp.arctan2(sin_ang, s)[:, None]              # (3, 1)
         denom = jnp.maximum(sin_ang, 1e-12)
         J = jacobian_sign * (cross / denom[:, None])
-        H = J.T @ J + lm_lambda * jnp.eye(3, dtype=R.dtype)
-        g = J.T @ r
+        H = (jnp.matmul(J.T, J, precision=_hi)
+             + lm_lambda * jnp.eye(3, dtype=R.dtype))
+        g = jnp.matmul(J.T, r, precision=_hi)
         dw = -jax.scipy.linalg.solve(H, g, assume_a="pos")[:, 0]
         dw = jnp.where(jnp.isfinite(dw), dw, 0.0)
         converged = jnp.linalg.norm(dw) < 1e-7
-        R_next = jnp.where(frozen, R, so3_exp(dw) @ R)
+        R_next = jnp.where(frozen, R,
+                           jnp.matmul(so3_exp(dw), R, precision=_hi))
         return (R_next, frozen | converged), None
 
     (R, _), _ = jax.lax.scan(step, (R0, jnp.asarray(False)), None,
@@ -444,9 +450,10 @@ def estimate_manhattan_dirs_device(gray, K, cfg: VpConfig,
 def vp_cost_jit(R_iw, Delta_cam, D_world):
     """jnp twin of `vp_cost` (arctan2 form: same angle, well-conditioned
     near 0 — see optimize_rotation_from_vps_jit)."""
+    import jax
     import jax.numpy as jnp
 
-    u = R_iw @ D_world
+    u = jnp.matmul(R_iw, D_world, precision=jax.lax.Precision.HIGHEST)
     s = jnp.clip(jnp.sum(Delta_cam * u, axis=0), -1.0, 1.0)
     sin_ang = jnp.linalg.norm(jnp.cross(Delta_cam.T, u.T), axis=1)
     return jnp.sum(jnp.arctan2(sin_ang, s))
@@ -468,11 +475,14 @@ def refine_rotation_with_vps_device(img1, img2, R_prev, R_rel, K,
     Returns (R_rel_out (3,3), used (bool scalar), stats dict of jnp
     scalars).
     """
+    import jax
     import jax.numpy as jnp
 
+    _hi = jax.lax.Precision.HIGHEST  # 3x3 rotation algebra (bf16 breaks
+    # orthonormality at 1e-3 — CLAUDE.md geometry precision rule)
     R_prev = jnp.asarray(R_prev, jnp.float32)
     R_rel = jnp.asarray(R_rel, jnp.float32)
-    R_new_init = R_prev @ R_rel
+    R_new_init = jnp.matmul(R_prev, R_rel, precision=_hi)
 
     Delta_prev, ok1, st1 = estimate_manhattan_dirs_device(
         img1, K, cfg, max_segments=max_segments)
@@ -484,7 +494,7 @@ def refine_rotation_with_vps_device(img1, img2, R_prev, R_rel, K,
     good2 = ok2 & (st2["acc_max"] >= cfg.acc_min) \
         & (st2["vp2_score"] >= cfg.vp2_min)
 
-    D_world = R_prev.T @ Delta_prev
+    D_world = jnp.matmul(R_prev.T, Delta_prev, precision=_hi)
     cost_init = vp_cost_jit(R_new_init, Delta_new, D_world)
     R_opt = optimize_rotation_from_vps_jit(R_new_init, Delta_new, D_world,
                                            iters=cfg.iters,
@@ -492,7 +502,7 @@ def refine_rotation_with_vps_device(img1, img2, R_prev, R_rel, K,
     cost_opt = vp_cost_jit(R_opt, Delta_new, D_world)
 
     used = good1 & good2 & (cost_opt < cost_init - cfg.cost_improve_eps)
-    R_out = jnp.where(used, R_prev.T @ R_opt, R_rel)
+    R_out = jnp.where(used, jnp.matmul(R_prev.T, R_opt, precision=_hi), R_rel)
     stats = {"prev_acc_max": st1["acc_max"], "new_acc_max": st2["acc_max"],
              "prev_vp2": st1["vp2_score"], "new_vp2": st2["vp2_score"],
              "cost_init": cost_init, "cost_opt": cost_opt}

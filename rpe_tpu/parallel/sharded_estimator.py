@@ -72,8 +72,19 @@ def _estimate_pair_hyp_sharded(img1, img2, K, key, cfg: EstimatorConfig,
 
     valid = ok & (num_matches >= 5)
     eye = jnp.eye(3, dtype=R.dtype)
-    R = jnp.where(valid, R, eye)
-    t = jnp.where(valid, t, jnp.array([0.0, 0.0, 1.0], dtype=t.dtype))
+    t001 = jnp.array([0.0, 0.0, 1.0], dtype=t.dtype)
+    # static-pair identity short-circuit, same contract as
+    # pipeline/estimator._match_to_pose (PARITY.md "zero-motion pairs")
+    if cfg.ransac.zero_motion_px > 0.0:
+        from ..pipeline.estimator import zero_motion_gate
+
+        zm = zero_motion_gate(pts1, pts2, mvalid, num_matches,
+                              cfg.ransac.zero_motion_px)
+        valid = valid | zm
+    else:
+        zm = jnp.zeros((), bool)
+    R = jnp.where(valid & ~zm, R, eye)
+    t = jnp.where(valid & ~zm, t, t001)
     return {
         "R": R, "t": t, "valid": valid,
         "num_matches": num_matches, "num_inliers": num_inliers,

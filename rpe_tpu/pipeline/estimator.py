@@ -104,6 +104,24 @@ def estimate_pair(img1, img2, K, key, cfg: EstimatorConfig = EstimatorConfig()):
     return _estimate_pair_impl(img1, img2, K, key, cfg)
 
 
+def zero_motion_gate(pts1, pts2, mvalid, num_matches, zm_px: float):
+    """True when the pair is effectively static: median pixel flow over
+    the valid matches is below `zm_px` (with at least 8 matches of
+    evidence). At zero baseline the essential matrix is undefined — any E
+    with both epipoles on the matches fits — so RANSAC's winner is
+    backend-noise-dependent and recoverPose extracts an arbitrary
+    rotation. The reference has no such guard and scores 180 deg on the
+    simulator dataset's static-tail pairs (its own golden CSV, rows
+    810-870); callers short-circuit to R=I, t=[0,0,1] instead
+    (PARITY.md "zero-motion pairs"). Median (not mean) so outlier matches
+    cannot fake motion; a real rotation of even 0.05 deg at f~700 moves
+    the image ~0.6 px, above the 0.5 px default gate."""
+    flow2 = jnp.sum((pts2 - pts1) ** 2, axis=-1)          # (M,) px^2
+    fl = jnp.sort(jnp.where(mvalid, flow2, jnp.inf))
+    med2 = jnp.take(fl, jnp.maximum(num_matches - 1, 0) // 2)
+    return (num_matches >= 8) & (med2 < jnp.float32(zm_px) ** 2)
+
+
 def _match_to_pose(det1, det2, K, key, cfg: EstimatorConfig):
     """Match -> RANSAC -> recoverPose given precomputed detections."""
     from ..utils.sanitize import audit_finite, audit_rotation
@@ -133,8 +151,15 @@ def _match_to_pose(det1, det2, K, key, cfg: EstimatorConfig):
     audit_rotation("recover_pose", R)
     valid = r["ok"] & (num_matches >= 5)
     eye = jnp.eye(3, dtype=R.dtype)
-    R = jnp.where(valid, R, eye)
-    t = jnp.where(valid, t, jnp.array([0.0, 0.0, 1.0], dtype=t.dtype))
+    t001 = jnp.array([0.0, 0.0, 1.0], dtype=t.dtype)
+    if cfg.ransac.zero_motion_px > 0.0:
+        zm = zero_motion_gate(pts1, pts2, mvalid, num_matches,
+                              cfg.ransac.zero_motion_px)
+        valid = valid | zm
+    else:
+        zm = jnp.zeros((), bool)
+    R = jnp.where(valid & ~zm, R, eye)
+    t = jnp.where(valid & ~zm, t, t001)
     return {
         "R": R, "t": t, "valid": valid,
         "num_matches": num_matches, "num_inliers": r["num_inliers"],

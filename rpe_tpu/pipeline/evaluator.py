@@ -15,11 +15,15 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+# Metrics use the float64 NUMPY twins: evaluation must be
+# device-independent (routing these 3x3 metrics through jnp ran them on
+# the session backend, and a TPU default-precision matmul put a spurious
+# ~4.75 deg floor under every TPU-written CSV) and the reference computes
+# them in f64 numpy (src/utils/geometry.py:128-174).
 from ..geometry.rotations import (
-    euler_to_rotation,
-    rotation_error,
-    translation_direction_error,
-    wrap_angle_error,
+    euler_to_rotation_np,
+    rotation_error_np,
+    translation_direction_error_np,
 )
 
 _METRICS = ["roll_error", "pitch_error", "yaw_error", "rotation_error",
@@ -44,21 +48,26 @@ class PoseEvaluator:
         gt_pos, gt_rpy = self.gt_loader.poses_for_frames(frames)
         gt_roll, gt_pitch, gt_yaw = gt_rpy[:, 0], gt_rpy[:, 1], gt_rpy[:, 2]
 
-        roll_err = np.asarray(wrap_angle_error(np.abs(est_roll - gt_roll)))
-        pitch_err = np.asarray(wrap_angle_error(np.abs(est_pitch - gt_pitch)))
-        yaw_err = np.asarray(wrap_angle_error(np.abs(est_yaw - gt_yaw)))
+        def _wrap(e):
+            # reference pose_evaluator.py:186-198, f64 host-side
+            return np.abs(((np.asarray(e, np.float64) + 180.0) % 360.0)
+                          - 180.0)
 
-        R_gt = np.asarray(euler_to_rotation(
-            gt_yaw, gt_pitch, gt_roll, convention=self.euler_convention))
-        rot_err = np.asarray(rotation_error(est_R, R_gt))
+        roll_err = _wrap(np.abs(est_roll - gt_roll))
+        pitch_err = _wrap(np.abs(est_pitch - gt_pitch))
+        yaw_err = _wrap(np.abs(est_yaw - gt_yaw))
+
+        R_gt = euler_to_rotation_np(
+            gt_yaw, gt_pitch, gt_roll, convention=self.euler_convention)
+        rot_err = rotation_error_np(est_R, R_gt)
 
         # Translation direction error vs GT delta between *evaluated* frames;
         # first evaluated frame -> 0.0 (pose_evaluator.py:110-117).
         trans_err = np.zeros(len(frames), dtype=np.float64)
         if len(frames) > 1:
             gt_delta = gt_pos[1:] - gt_pos[:-1]
-            trans_err[1:] = np.asarray(
-                translation_direction_error(est_t[1:], gt_delta))
+            trans_err[1:] = translation_direction_error_np(
+                est_t[1:], gt_delta)
 
         return {
             "frames": frames,
@@ -107,7 +116,8 @@ class PoseEvaluator:
 
     @staticmethod
     def _wrap_angle_error(error_deg):
-        return float(wrap_angle_error(error_deg))
+        return float(np.abs(((np.float64(error_deg) + 180.0) % 360.0)
+                            - 180.0))
 
     def print_summary(self, evaluation_results):
         """Console block identical in structure to pose_evaluator.py:200-238."""

@@ -53,10 +53,11 @@ def test_pass_enables_gates_but_not_tbrief(tmp_path):
 
 
 def test_tbrief_marker_never_adopted(tmp_path):
-    """T_BRIEF is validated-but-not-auto-adopted: its Mosaic-transcendental
-    ULP flips can change descriptor bits, so adoption needs an explicit
-    dataset accuracy A/B. Its marker must enable nothing — only an
-    explicit operator RPE_EXTRACT_T_BRIEF=1 turns it on."""
+    """T_BRIEF's kernel PASS alone must enable nothing: single-image
+    bit-parity doesn't clear its Mosaic-transcendental ULP risk. Adoption
+    requires the dataset-level "T_BRIEF3 CSV-AB PASS" marker (appended by
+    the regen flow when the simulator CSV is bit-identical to the T
+    path's) — which must then enable it."""
     bench = _bench()
     log = tmp_path / "v.log"
     log.write_text("T_BRIEF3 PASS\nVALIDATION PASS\n")
@@ -67,6 +68,19 @@ def test_tbrief_marker_never_adopted(tmp_path):
         with mock.patch.object(bench, "_VALIDATE_LOG", str(log)):
             assert bench._enable_validated_kernels() is True
         assert os.environ.get("RPE_EXTRACT_T_BRIEF") is None
+
+
+def test_tbrief_csv_ab_marker_adopts(tmp_path):
+    bench = _bench()
+    log = tmp_path / "v.log"
+    log.write_text("T_BRIEF3 PASS\nT_BRIEF3 CSV-AB PASS\n")
+    patch, keys = _clean_env()
+    with patch:
+        for k in keys:
+            os.environ.pop(k, None)
+        with mock.patch.object(bench, "_VALIDATE_LOG", str(log)):
+            assert bench._enable_validated_kernels() is True
+        assert os.environ.get("RPE_EXTRACT_T_BRIEF") == "1"
 
 
 def test_operator_choice_wins(tmp_path):

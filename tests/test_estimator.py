@@ -135,3 +135,43 @@ def test_textureless_pair_masks_invalid():
     assert not bool(out["valid"])
     np.testing.assert_array_equal(np.asarray(out["R"]), np.eye(3, dtype=np.float32))
     assert np.isfinite(np.asarray(out["t"])).all()
+
+
+def test_zero_motion_pair_returns_identity(pair):
+    """Identical images -> zero-motion gate -> exact identity rotation and
+    valid=True. The essential matrix is undefined at zero baseline, so
+    without the gate the recovered R is backend-noise (the reference
+    scores 180 deg on the simulator static-tail pairs — its golden CSV
+    rows 810-870; PARITY.md "zero-motion pairs")."""
+    img1, _, K = pair
+    cfg = EstimatorConfig(
+        orb=OrbConfig(nfeatures=1000, nlevels=4, max_kpts=1024),
+        matcher=MatcherConfig(max_matches=256),
+        ransac=RansacConfig(num_hypotheses=64),
+    )
+    im = jnp.asarray(img1, jnp.float32)
+    out = estimate_pair(im, im, jnp.asarray(K, jnp.float32),
+                        jax.random.PRNGKey(3), cfg=cfg)
+    assert bool(out["valid"])
+    np.testing.assert_array_equal(np.asarray(out["R"]),
+                                  np.eye(3, dtype=np.float32))
+    np.testing.assert_array_equal(np.asarray(out["t"]),
+                                  np.array([0, 0, 1], np.float32))
+
+
+def test_zero_motion_gate_does_not_fire_on_real_motion(pair):
+    """The real KITTI pair (15-frame baseline) must NOT trip the static
+    gate: median flow is far above 0.5 px, so the estimate is the normal
+    essential-decomposition pose (non-identity)."""
+    img1, img2, K = pair
+    cfg = EstimatorConfig(
+        orb=OrbConfig(nfeatures=1000, nlevels=4, max_kpts=1024),
+        matcher=MatcherConfig(max_matches=256),
+        ransac=RansacConfig(num_hypotheses=64),
+    )
+    out = estimate_pair(jnp.asarray(img1, jnp.float32),
+                        jnp.asarray(img2, jnp.float32),
+                        jnp.asarray(K, jnp.float32),
+                        jax.random.PRNGKey(3), cfg=cfg)
+    assert bool(out["valid"])
+    assert not np.allclose(np.asarray(out["R"]), np.eye(3))

@@ -60,7 +60,8 @@ def _gather_sample(pts, idx):
 
 
 @partial(jax.jit,
-         static_argnames=("num_hypotheses", "refit_rounds", "solver"))
+         static_argnames=("num_hypotheses", "refit_rounds", "solver",
+                          "degensac"))
 def ransac_essential(
     key,
     pts1_n,
@@ -70,6 +71,7 @@ def ransac_essential(
     num_hypotheses: int = 2048,
     refit_rounds: int = 2,
     solver: str = "8pt",
+    degensac: bool = False,
 ):
     """Batched-hypothesis essential matrix RANSAC.
 
@@ -181,6 +183,18 @@ def ransac_essential(
     )
 
     num_inliers = jnp.sum(inlier_mask.astype(jnp.int32))
+
+    if degensac:
+        # Dominant-plane rescue (geometry/homography.py): planar scenes
+        # admit a 2-parameter family F = [e']x H of wrong-but-well-
+        # counting models; re-estimate via plane-and-parallax when a
+        # homography explains >= 80% of the winner's support.
+        from .homography import degensac_rescue
+
+        E_best, inlier_mask, num_inliers, _, _ = degensac_rescue(
+            jax.random.fold_in(key, 7), E_best, inlier_mask, num_inliers,
+            pts1_n, pts2_n, valid_mask, threshold_n)
+
     # Gate on the solver's minimal sample size: the reference succeeds with
     # as few as 5 matches on the 5pt path (src/core/pose_estimator.py:514;
     # cv2.findEssentialMat's 5pt solver works at N=5). The weighted-8pt

@@ -52,6 +52,7 @@ def _estimate_pair_hyp_sharded(img1, img2, K, key, cfg: EstimatorConfig,
             num_hypotheses=local_h,
             refit_rounds=cfg.ransac.refit_rounds,
             solver=cfg.ransac.solver,
+            degensac=cfg.ransac.degensac,
         )
         # winner across the hypothesis shards, selected over ICI
         counts = jax.lax.all_gather(r["num_inliers"], axis)      # (n_dev,)

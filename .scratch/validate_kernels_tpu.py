@@ -23,9 +23,13 @@ import numpy as np  # noqa: E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+# Explicit "0", not pop: since the 08-18 validation the library defaults
+# these gates ON on TPU (ops/fast.py kernel_gate) — an unset gate would
+# make DETECT_BASE run the Pallas path and every A/B compare Pallas
+# against itself.
 for _g in ("RPE_PALLAS_5PT", "RPE_PALLAS_EXTRACT", "RPE_PALLAS_MATCH",
            "RPE_EXTRACT_T", "RPE_EXTRACT_T_BRIEF", "RPE_EXTRACT_MOMENTS"):
-    os.environ.pop(_g, None)
+    os.environ[_g] = "0"
 
 # RPE_VALIDATE_SMOKE=1: tiny shapes on the CPU backend — exercises every
 # section's plumbing (env dance, parity fns, timers, markers) without a
@@ -148,7 +152,7 @@ def _five_point():
         print(f"  five_point_full fused: {1000*best:.1f} ms/call -> "
               f"{1000*best/B:.3f} ms/pair (was 2.396)", flush=True)
     finally:
-        os.environ.pop("RPE_PALLAS_5PT", None)
+        os.environ["RPE_PALLAS_5PT"] = "0"
 
 
 # ------------- baseline detect (XLA extraction) for parity/timing ---------

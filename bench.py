@@ -24,12 +24,14 @@ import time
 import numpy as np
 
 H, W = 376, 1241  # KITTI camera geometry
-BATCH = 32
+# 128 won the hardware chunk sweep (08-18, .scratch/tpu_chunk_sweep.py:
+# 4.39 ms/pair at B=128 vs 4.59 at B=32 with all validated kernels).
+BATCH = 128
 ITERS = 6
 
 
 def _batch_from_sweep() -> int:
-    """Use the hardware chunk-sweep winner when one is on record
+    """Use the hardware chunk-sweep winner when a NEWER one is on record
     (.scratch/tpu_chunk_sweep.py writes /tmp/bench_batch.txt after the
     tunnel-recovery validation flow); default BATCH otherwise. RPE_BENCH_B
     env overrides both."""
@@ -236,58 +238,45 @@ def _cached_auto_result():
 
 _VALIDATE_LOG = "/tmp/validate_kernels.log"
 _GATES = ("RPE_PALLAS_5PT", "RPE_PALLAS_EXTRACT", "RPE_PALLAS_MATCH",
-          "RPE_EXTRACT_T")
-# validation-log marker -> env gate ("<MARKER> PASS" printed per section
-# by .scratch/validate_kernels_tpu.py the moment that kernel family's
-# hardware parity+timing checks clear, so a validation run cut short by
-# the round budget still yields the kernels it got through)
-_MARKER_GATES = (
-    ("5PT PASS", "RPE_PALLAS_5PT"),
-    ("EXTRACT PASS", "RPE_PALLAS_EXTRACT"),
-    # EXTRACT_T3, not EXTRACT_T: the 08-18 run's "EXTRACT_T PASS" marker
-    # was VACUOUS (the atlas.py dispatch then required RPE_PALLAS_EXTRACT
-    # alongside RPE_EXTRACT_T, so the section validated the XLA path
-    # against itself). The dispatch now honors RPE_EXTRACT_T standalone
-    # and the v3 validation script prints versioned markers so the stale
-    # line can never enable the (still unvalidated) kernel.
-    ("EXTRACT_T3 PASS", "RPE_EXTRACT_T"),
-    ("MATCH PASS", "RPE_PALLAS_MATCH"),
-    # T_BRIEF3 needs BOTH its kernel PASS and the dataset-level CSV A/B
-    # marker (bit-identical simulator run vs the T path — appended to the
-    # log by the regen flow): its Mosaic atan2/round ULP differences could
-    # in principle flip descriptor bits vs the XLA BRIEF, so single-image
-    # bit-parity alone doesn't clear it.
-    ("T_BRIEF3 CSV-AB PASS", "RPE_EXTRACT_T_BRIEF"),
+          "RPE_EXTRACT_T", "RPE_EXTRACT_T_BRIEF")
+# validation-log FAILURE marker -> env gate. The validated kernels are ON
+# by default in the library (ops/fast.py kernel_gate — hardware-validated
+# 08-18, bit-agreement 1.00000). bench's remaining job is the PROTECTIVE
+# direction: if a validation run on THIS host recorded a failure for a
+# family ("<NAME> FAILED" printed by .scratch/validate_kernels_tpu.py's
+# section decorator, or a CSV-A/B mismatch appended by the regen flow),
+# force that family back to the XLA path before measuring.
+_FAIL_MARKER_GATES = (
+    ("5PT FAILED", "RPE_PALLAS_5PT"),
+    ("EXTRACT FAILED", "RPE_PALLAS_EXTRACT"),
+    ("EXTRACT_T3 FAILED", "RPE_EXTRACT_T"),
+    ("MATCH FAILED", "RPE_PALLAS_MATCH"),
+    ("T_BRIEF3 FAILED", "RPE_EXTRACT_T_BRIEF"),
+    # the dataset-level simulator CSV A/B can fail independently of the
+    # kernel's single-image bit-parity (Mosaic transcendental ULPs)
+    ("T_BRIEF3 CSV-AB FAIL", "RPE_EXTRACT_T_BRIEF"),
 )
 
 
-def _enable_validated_kernels() -> bool:
-    """Turn each opt-in Pallas kernel on IFF this host's hardware
-    validation run (.scratch/validate_kernels_tpu.py, launched by the
-    tunnel-recovery chain) recorded that kernel's PASS marker.
-    Unvalidated kernels stay off — round 2 taught us never to
-    default-enable a kernel the real chip has not compiled (CLAUDE.md
-    hazard #5). "VALIDATION PASS" (all core kernels green) implies every
-    core marker, so full-pass behavior is unchanged; a partial log
-    enables exactly the validated subset. Returns True if anything was
-    enabled."""
+def _disable_failed_kernels() -> list:
+    """Force any Pallas kernel family whose hardware validation run on
+    this host recorded a FAILURE back to the XLA path (env gate "0").
+    Explicit operator-set gates win. No log, or a log with no failure
+    markers, changes nothing — the library defaults (validated 08-18)
+    stand. Returns the list of gates disabled."""
     import os
 
-    if any(os.environ.get(g) is not None
-           for g in _GATES + ("RPE_EXTRACT_T_BRIEF",)):
-        return False  # explicit operator choice wins
     try:
         with open(_VALIDATE_LOG) as f:
             log = f.read()
     except OSError:
-        return False
-    enabled = set()
-    for marker, gate in _MARKER_GATES:
-        if marker in log or (gate in _GATES and "VALIDATION PASS" in log):
-            enabled.add(gate)
-    for g in enabled:
-        os.environ[g] = "1"
-    return bool(enabled)
+        return []
+    disabled = []
+    for marker, gate in _FAIL_MARKER_GATES:
+        if marker in log and os.environ.get(gate) is None:
+            os.environ[gate] = "0"
+            disabled.append(gate)
+    return disabled
 
 
 def main():
@@ -311,8 +300,10 @@ def main():
         return
     img1, img2, K = (*_load_frames(), _camera())
     note = None
-    if _enable_validated_kernels():
-        note = "validated Pallas kernels enabled (hardware PASS on record)"
+    _off = _disable_failed_kernels()
+    if _off:
+        note = ("validation log recorded hardware failures; disabled: "
+                + ",".join(sorted(_off)))
     try:
         tpu_pps, out = bench_tpu(img1, img2, K)
     except Exception as e:

@@ -322,11 +322,9 @@ def five_point_essential(pts1, pts2):
     rn = jnp.sqrt(jnp.sum(coeffs * coeffs, axis=-1, keepdims=True) + _EPS)
     coeffs = coeffs / rn
 
-    import os
+    from ..ops.fast import _use_pallas, kernel_gate
 
-    from ..ops.fast import _use_pallas
-
-    if _use_pallas() and os.environ.get("RPE_PALLAS_5PT"):
+    if _use_pallas() and kernel_gate("RPE_PALLAS_5PT"):
         # Fully fused VMEM-resident solve: grid scan, bracketing, bisection,
         # chart-aware null-vector extraction AND Gauss-Newton polish in one
         # kernel with the hypothesis batch in the lane dimension

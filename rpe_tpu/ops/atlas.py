@@ -213,26 +213,26 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
 
     import os
 
-    from .fast import _use_pallas
+    from .fast import _use_pallas, kernel_gate
 
     # RPE_PALLAS_INTERPRET=1 forces the Pallas paths in interpret mode on
     # any backend (CPU end-to-end parity tests); production TPU runs leave
     # it unset.
     _interp = bool(os.environ.get("RPE_PALLAS_INTERPRET"))
-    _want_extract = bool(os.environ.get("RPE_PALLAS_EXTRACT"))
-    _want_t = bool(os.environ.get("RPE_EXTRACT_T"))
+    _want_extract = kernel_gate("RPE_PALLAS_EXTRACT")
+    _want_t = kernel_gate("RPE_EXTRACT_T")
     if (_use_pallas() or _interp) and (_want_extract or _want_t):
         # Pallas extraction backends (ops/extract_pallas.py); the XLA path
         # below materializes ~1.4 GB/image of one-hot operands in HBM.
-        # Each family is opt-in until a real-hardware run validates
-        # descriptor bit-parity — interpret-mode tests alone don't rule out
-        # a Mosaic layout divergence on the chip. RPE_EXTRACT_T selects the
+        # Every family here is hardware-validated (bit-parity on the real
+        # chip, 08-18) and ON by default on TPU — kernel_gate() env vars
+        # fall back to the XLA path. RPE_EXTRACT_T selects the
         # transposed kernel ON ITS OWN (it does not need the one-hot
         # kernel's RPE_PALLAS_EXTRACT — requiring both silently no-op'd the
         # first hardware validation of the T family, 08-18).
         slot_of_sorted = jnp.where(keep, flat, 0)             # (K,)
         valid_sorted = jnp.take(valid, order) & keep
-        if _want_t and os.environ.get("RPE_EXTRACT_T_BRIEF"):
+        if _want_t and kernel_gate("RPE_EXTRACT_T_BRIEF"):
             # v3: v2 plus steered BRIEF in-kernel — descriptor patches
             # never reach HBM and the XLA one-hot BRIEF einsum stage
             # disappears. Bits match steered_brief_t exactly in interpret
@@ -275,7 +275,7 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
                 "order": order,
                 "valid_sorted": valid_sorted,
             }
-        if os.environ.get("RPE_EXTRACT_MOMENTS"):
+        if kernel_gate("RPE_EXTRACT_MOMENTS"):
             # further fusion: IC-orientation moments in-kernel; the raw
             # patches (whose only consumer is the orientation) never
             # reach HBM

@@ -120,6 +120,43 @@ def _use_pallas() -> bool:
         return False
 
 
+# Pallas kernel families that have cleared hardware validation on the real
+# chip (.scratch/validate_kernels_tpu.py, 2026-08-18 run: bit-agreement
+# 1.00000 vs the XLA formulations for 5PT / MATCH / EXTRACT / MOMENTS /
+# EXTRACT_T3 / T_BRIEF3, plus the dataset-level "T_BRIEF3 CSV-AB PASS"
+# simulator A/B). These are ON by default wherever `_use_pallas()` holds;
+# set the env var to "0"/"off" to fall back to the XLA path. Unvalidated
+# or behavior-changing gates (RPE_BRIEF, RPE_VP_DEVICE, RPE_ONEHOT_BF16)
+# stay opt-in and are NOT routed through this helper.
+_VALIDATED_KERNEL_GATES = frozenset({
+    "RPE_PALLAS_5PT",
+    "RPE_PALLAS_EXTRACT",
+    "RPE_PALLAS_MATCH",
+    "RPE_EXTRACT_T",
+    "RPE_EXTRACT_T_BRIEF",
+    "RPE_EXTRACT_MOMENTS",
+})
+
+_GATE_OFF = ("", "0", "off", "false", "no")
+
+
+def kernel_gate(name: str) -> bool:
+    """True iff the named Pallas kernel gate is enabled.
+
+    Unset -> the hardware-validated default (on for every name in
+    `_VALIDATED_KERNEL_GATES`, off otherwise). Set -> explicit operator
+    choice: "", "0", "off", "false", "no" disable; anything else enables.
+    NOTE (CLAUDE.md jit-cache hazard): calls from inside jitted functions
+    are baked at first trace — flip gates before the first call.
+    """
+    import os
+
+    v = os.environ.get(name)
+    if v is None:
+        return name in _VALIDATED_KERNEL_GATES
+    return v.strip().lower() not in _GATE_OFF
+
+
 def detect_level(img, threshold: float, margin: int, quota: int):
     """FAST + nonmax + Harris top-`quota` selection on one pyramid level.
 

@@ -51,21 +51,18 @@ def detect_features(img, cfg: EstimatorConfig):
 
 def match_features(det1, det2, cfg: EstimatorConfig):
     """Descriptor matching dispatch: one MXU distance matmul + selection."""
-    import os
-
-    from ..ops.fast import _use_pallas
+    from ..ops.fast import _use_pallas, kernel_gate
 
     m = cfg.matcher
     norm = m.norm_type.lower()
     key = "bits" if norm == "hamming" else "desc"
     if (norm in ("hamming", "l2") and _use_pallas()
-            and os.environ.get("RPE_PALLAS_MATCH")
+            and kernel_gate("RPE_PALLAS_MATCH")
             and det1[key].shape[0] % 128 == 0):
         # Fused matmul+reduction kernels: never materialize the (N1, N2)
         # distance matrix in HBM (ops/match_pallas.py; bit-identical for
-        # hamming, reassociation-equal for l2). Opt-in until a
-        # real-hardware run validates them — interpret-mode tests don't
-        # rule out a Mosaic layout divergence on the chip.
+        # hamming, reassociation-equal for l2). Hardware-validated 08-18
+        # and ON by default on TPU (kernel_gate).
         from ..ops.match_pallas import (
             cross_check_match_fused,
             ratio_match_fused,

@@ -6,16 +6,22 @@
 set -x
 cd /root/repo
 LOG=/tmp/validate_kernels.log
-grep -q "^5PT PASS" "$LOG" 2>/dev/null && export RPE_PALLAS_5PT=1
-grep -q "^EXTRACT PASS" "$LOG" 2>/dev/null && export RPE_PALLAS_EXTRACT=1
-# EXTRACT_T3 (not the retired EXTRACT_T marker — that one was recorded by
-# a run where the dispatch no-op'd the gate, validating XLA against itself)
-grep -q "^EXTRACT_T3 PASS" "$LOG" 2>/dev/null && export RPE_EXTRACT_T=1
-grep -q "^MATCH PASS" "$LOG" 2>/dev/null && export RPE_PALLAS_MATCH=1
-# T_BRIEF: adopted only after the dataset-level A/B (the sim drift once
-# blamed on its ULP flips was actually the evaluator's bf16 metric bug —
-# docs/PERF_LOG.md round-3 postmortem). See bench.py _MARKER_GATES.
-grep -q "^T_BRIEF3 CSV-AB PASS" "$LOG" 2>/dev/null && export RPE_EXTRACT_T_BRIEF=1
+# The library defaults every validated family ON (ops/fast.py kernel_gate),
+# so the protective direction here is export =0 for any family WITHOUT its
+# PASS marker on record — a partial validation (e.g. "EXTRACT FAILED") must
+# not run golden regen / the chunk sweep with a hardware-failed kernel
+# active. PASS markers are v2 per-section lines; EXTRACT_T3 (not the
+# retired vacuous EXTRACT_T marker), and T_BRIEF requires the dataset-level
+# CSV A/B (see bench.py _FAIL_MARKER_GATES).
+gate_from_marker() { # $1 = PASS-marker regex, $2 = env gate
+  if grep -q "$1" "$LOG" 2>/dev/null; then export "$2=1"; else export "$2=0"; fi
+}
+gate_from_marker "^5PT PASS" RPE_PALLAS_5PT
+gate_from_marker "^EXTRACT PASS" RPE_PALLAS_EXTRACT
+gate_from_marker "^MOMENTS PASS" RPE_EXTRACT_MOMENTS
+gate_from_marker "^EXTRACT_T3 PASS" RPE_EXTRACT_T
+gate_from_marker "^MATCH PASS" RPE_PALLAS_MATCH
+gate_from_marker "^T_BRIEF3 CSV-AB PASS" RPE_EXTRACT_T_BRIEF
 env | grep RPE_
 
 timeout 5400 python .scratch/tpu_stage_probe.py > /tmp/stage_r3.log 2>&1

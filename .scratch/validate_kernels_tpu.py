@@ -240,7 +240,10 @@ def _variant_section(name, env, kernel_fn=None):
             if orig is not None:
                 setattr(_ep, kernel_fn, orig)
             for k in env:
-                os.environ.pop(k, None)
+                # explicit "0", not pop: unset means default-ON under
+                # kernel_gate, which would leak this section's gates into
+                # every later section
+                os.environ[k] = "0"
     run.__name__ = name
     return section(name)(run)
 
@@ -264,6 +267,73 @@ _variant_section("EXTRACT_T3", {"RPE_EXTRACT_T": "1"},
 _variant_section("T_BRIEF3", {"RPE_EXTRACT_T": "1",
                               "RPE_EXTRACT_T_BRIEF": "1"},
                  kernel_fn="extract_windows_t_brief")
+
+
+@section("T_BRIEF3 CSV-AB")
+def _t_brief_csv_ab():
+    """Dataset-level A/B: T_BRIEF vs the T path through the FULL
+    match->pose program on real simulator frames — the ULP-sensitive
+    surface a single synthetic image can miss. On failure the section
+    line reads "T_BRIEF3 CSV-AB FAILED", which contains the
+    "T_BRIEF3 CSV-AB FAIL" disable marker bench.py/post_validate.sh
+    grep for (previously nothing emitted the FAIL side — ADVICE r3)."""
+    import dataclasses
+
+    from rpe_tpu.config import EstimatorConfig, OrbConfig
+    from rpe_tpu.pipeline.estimator import _match_to_pose, detect_features
+
+    sim = "/root/reference/evaluation-runs/simulator-data/data/images"
+    frames = [0, 15, 30, 45, 60, 150, 165, 810, 825]
+    cfg = EstimatorConfig()
+    if SMOKE:
+        frames = frames[:3]
+        cfg = dataclasses.replace(
+            cfg, orb=OrbConfig(nfeatures=512, nlevels=3, max_kpts=512))
+    imgs = []
+    for f in frames:
+        im = Image.open(f"{sim}/{f:06d}.png").convert("L")
+        if SMOKE:
+            im = im.resize((256, 128), Image.BILINEAR)
+        imgs.append(np.asarray(im, np.float32))
+    seq_ab = jnp.asarray(np.stack(imgs))
+    Kj = jnp.asarray(np.array([[924.83, 0.0, 468.25],
+                               [0.0, 920.48, 353.66],
+                               [0.0, 0.0, 1.0]], np.float32))
+    keys = jax.vmap(jax.random.PRNGKey)(
+        jnp.arange(len(frames) - 1, dtype=jnp.uint32))
+
+    def run_once():
+        # fresh local fn each call: jax's jit cache is keyed by the
+        # underlying callable, so reusing one jitted program would bake
+        # the FIRST run's env gates into both sides (CLAUDE.md perf rule)
+        @jax.jit
+        def prog(ims, K, ks):
+            dets = jax.lax.map(lambda im: detect_features(im, cfg), ims)
+            d1 = jax.tree.map(lambda x: x[:-1], dets)
+            d2 = jax.tree.map(lambda x: x[1:], dets)
+            return jax.vmap(
+                lambda a, b, k: _match_to_pose(a, b, K, k, cfg))(d1, d2, ks)
+        out = prog(seq_ab, Kj, keys)
+        return {k: np.asarray(v) for k, v in out.items()
+                if k in ("R", "t", "valid", "num_inliers")}
+
+    os.environ["RPE_EXTRACT_T"] = "1"
+    os.environ["RPE_EXTRACT_T_BRIEF"] = "0"
+    try:
+        t0 = time.perf_counter()
+        ref = run_once()
+        print(f"  T-path run {time.perf_counter()-t0:.0f}s", flush=True)
+        os.environ["RPE_EXTRACT_T_BRIEF"] = "1"
+        t0 = time.perf_counter()
+        got = run_once()
+        print(f"  T_BRIEF run {time.perf_counter()-t0:.0f}s", flush=True)
+    finally:
+        os.environ["RPE_EXTRACT_T"] = "0"
+        os.environ["RPE_EXTRACT_T_BRIEF"] = "0"
+    for k in ref:
+        np.testing.assert_array_equal(got[k], ref[k], k)
+    print(f"  T_BRIEF == T over {len(frames)-1} real sim pairs "
+          f"(R/t/valid/num_inliers bit-identical)", flush=True)
 
 
 # ---------------- (3) fused matcher: bit-parity + timing -------------------

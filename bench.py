@@ -34,13 +34,21 @@ def _batch_from_sweep() -> int:
     """Use the hardware chunk-sweep winner when a NEWER one is on record
     (.scratch/tpu_chunk_sweep.py writes /tmp/bench_batch.txt after the
     tunnel-recovery validation flow); default BATCH otherwise. RPE_BENCH_B
-    env overrides both."""
+    env overrides both. "Newer": the sweep file must postdate the
+    validation log (when one exists) — a stale pre-validation sweep (run
+    with different kernel gates) must not override the default."""
     import os
 
     env = os.environ.get("RPE_BENCH_B")
     if env:
         return int(env)
     try:
+        sweep_mtime = os.path.getmtime("/tmp/bench_batch.txt")
+        try:
+            if sweep_mtime < os.path.getmtime(_VALIDATE_LOG):
+                return BATCH
+        except OSError:
+            pass  # no validation log: a standalone sweep still counts
         with open("/tmp/bench_batch.txt") as f:
             b = int(f.read().strip())
         return b if 8 <= b <= 512 else BATCH
@@ -66,12 +74,16 @@ def _camera():
                      [0.0, 0.0, 1.0]], dtype=np.float32)
 
 
-def bench_tpu(img1, img2, K):
+def bench_tpu(img1, img2, K, cfg=None):
     import jax
     import jax.numpy as jnp
 
     from rpe_tpu.pipeline.estimator import estimate_sequence_batched
 
+    if cfg is None:
+        from rpe_tpu.config import EstimatorConfig
+
+        cfg = EstimatorConfig()
     batch = _batch_from_sweep()
     # Sequence workload (what every dataset runner executes): BATCH
     # consecutive pairs over BATCH+1 alternating frames. Each unique frame
@@ -89,7 +101,7 @@ def bench_tpu(img1, img2, K):
         for i in range(ITERS)
     ]
 
-    out = estimate_sequence_batched(seq, Kj, all_keys[0])  # compile
+    out = estimate_sequence_batched(seq, Kj, all_keys[0], cfg=cfg)  # compile
     np.asarray(out["R"])  # host transfer: the only reliable barrier on the
     # tunneled backend (block_until_ready returns before remote completion)
 
@@ -100,7 +112,7 @@ def bench_tpu(img1, img2, K):
     # runs (pipeline/batch.py keeps a chunk in flight). Every output is
     # still transferred, so nothing is DCE'd.
     t0 = time.perf_counter()
-    outs = [estimate_sequence_batched(seq, Kj, all_keys[i])
+    outs = [estimate_sequence_batched(seq, Kj, all_keys[i], cfg=cfg)
             for i in range(ITERS)]
     for o in outs:
         np.asarray(o["R"])
@@ -121,6 +133,36 @@ def bench_opencv(img1, img2, K, reps=3):
         kp1, d1 = orb.detectAndCompute(a, None)
         kp2, d2 = orb.detectAndCompute(b, None)
         ms = sorted(bf.match(d1, d2), key=lambda m: m.distance)[:500]
+        p1 = np.float32([kp1[m.queryIdx].pt for m in ms])
+        p2 = np.float32([kp2[m.trainIdx].pt for m in ms])
+        E, _ = cv2.findEssentialMat(p1, p2, K, method=cv2.RANSAC,
+                                    prob=0.999, threshold=1.0)
+        return cv2.recoverPose(E, p1, p2, K)
+
+    once()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        once()
+    return reps / (time.perf_counter() - t0)
+
+
+def bench_opencv_sift(img1, img2, K, reps=3):
+    """cv2 SIFT + L2 Lowe-ratio baseline (BASELINE.json config #2; the
+    reference's SIFT branch is cv2.SIFT_create() at
+    src/core/pose_estimator.py:93-94)."""
+    import cv2
+
+    a = img1.astype(np.uint8)
+    b = img2.astype(np.uint8)
+    sift = cv2.SIFT_create(nfeatures=4000)
+    bf = cv2.BFMatcher(cv2.NORM_L2)
+
+    def once():
+        kp1, d1 = sift.detectAndCompute(a, None)
+        kp2, d2 = sift.detectAndCompute(b, None)
+        knn = bf.knnMatch(d1, d2, k=2)
+        ms = [m for m, n2 in knn if m.distance < 0.75 * n2.distance]
+        ms = sorted(ms, key=lambda m: m.distance)[:500]
         p1 = np.float32([kp1[m.queryIdx].pt for m in ms])
         p2 = np.float32([kp2[m.trainIdx].pt for m in ms])
         E, _ = cv2.findEssentialMat(p1, p2, K, method=cv2.RANSAC,
@@ -237,8 +279,6 @@ def _cached_auto_result():
 
 
 _VALIDATE_LOG = "/tmp/validate_kernels.log"
-_GATES = ("RPE_PALLAS_5PT", "RPE_PALLAS_EXTRACT", "RPE_PALLAS_MATCH",
-          "RPE_EXTRACT_T", "RPE_EXTRACT_T_BRIEF")
 # validation-log FAILURE marker -> env gate. The validated kernels are ON
 # by default in the library (ops/fast.py kernel_gate — hardware-validated
 # 08-18, bit-agreement 1.00000). bench's remaining job is the PROTECTIVE
@@ -249,11 +289,15 @@ _GATES = ("RPE_PALLAS_5PT", "RPE_PALLAS_EXTRACT", "RPE_PALLAS_MATCH",
 _FAIL_MARKER_GATES = (
     ("5PT FAILED", "RPE_PALLAS_5PT"),
     ("EXTRACT FAILED", "RPE_PALLAS_EXTRACT"),
+    ("MOMENTS FAILED", "RPE_EXTRACT_MOMENTS"),
     ("EXTRACT_T3 FAILED", "RPE_EXTRACT_T"),
     ("MATCH FAILED", "RPE_PALLAS_MATCH"),
     ("T_BRIEF3 FAILED", "RPE_EXTRACT_T_BRIEF"),
-    # the dataset-level simulator CSV A/B can fail independently of the
-    # kernel's single-image bit-parity (Mosaic transcendental ULPs)
+    # the dataset-level frame A/B ("T_BRIEF3 CSV-AB" validation section:
+    # T_BRIEF vs the T path through the full match->pose on real simulator
+    # frames) can fail independently of the kernel's single-image
+    # bit-parity (Mosaic transcendental ULPs); its section failure line
+    # "T_BRIEF3 CSV-AB FAILED" contains this marker
     ("T_BRIEF3 CSV-AB FAIL", "RPE_EXTRACT_T_BRIEF"),
 )
 
@@ -279,10 +323,43 @@ def _disable_failed_kernels() -> list:
     return disabled
 
 
-def main():
+def _parse_args(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--profile", default="parity",
+                   help="ORB work-cut profile (config.PROFILE_NAMES); "
+                        "the driver's headline run uses parity")
+    p.add_argument("--sift", action="store_true",
+                   help="Bench the SIFT+L2+Lowe-ratio configuration "
+                        "(BASELINE.json config #2) instead of ORB+Hamming")
+    return p.parse_args(argv)
+
+
+def _bench_config(args):
+    """(cfg, metric string, cv2-baseline fn) for the requested variant."""
+    from rpe_tpu.config import EstimatorConfig, MatcherConfig, profile_config
+
+    if args.sift:
+        cfg = EstimatorConfig(
+            feature_method="SIFT",
+            matcher=MatcherConfig(norm_type="l2", cross_check=False))
+        return (cfg, "image pairs/sec/chip (KITTI-size 1241x376, "
+                "SIFT + L2 Lowe-ratio full pipeline)", bench_opencv_sift)
+    cfg = profile_config(args.profile)
+    name = ("ORB4000 full pipeline" if args.profile == "parity"
+            else f"ORB profile {args.profile} full pipeline")
+    return (cfg, f"image pairs/sec/chip (KITTI-size 1241x376, {name})",
+            bench_opencv)
+
+
+def main(argv=None):
+    args = _parse_args(argv)
+    cfg, metric, cv_fn = _bench_config(args)
     ok, reason = _wait_for_backend()
     if not ok:
-        cached = _cached_auto_result()
+        cached = _cached_auto_result() if not args.sift and \
+            args.profile == "parity" else None
         if cached is not None:
             cached["reason"] = reason
             print(json.dumps(cached))
@@ -290,8 +367,7 @@ def main():
         # Always emit a machine-parseable line — a null value with a reason
         # beats a nonzero exit that leaves the driver artifact unparsed.
         print(json.dumps({
-            "metric": "image pairs/sec/chip (KITTI-size 1241x376, ORB4000 "
-                      "full pipeline)",
+            "metric": metric,
             "value": None,
             "unit": "pairs/s",
             "vs_baseline": None,
@@ -305,7 +381,7 @@ def main():
         note = ("validation log recorded hardware failures; disabled: "
                 + ",".join(sorted(_off)))
     try:
-        tpu_pps, out = bench_tpu(img1, img2, K)
+        tpu_pps, out = bench_tpu(img1, img2, K, cfg=cfg)
     except Exception as e:
         # A Mosaic rejection of a default-on kernel must not cost the
         # round's number: fall back to the pure-XLA formulation once.
@@ -317,17 +393,19 @@ def main():
 
         os.environ["RPE_NO_PALLAS"] = "1"
         jax.clear_caches()
-        tpu_pps, out = bench_tpu(img1, img2, K)
+        tpu_pps, out = bench_tpu(img1, img2, K, cfg=cfg)
         note = "RPE_NO_PALLAS fallback (default kernel path failed)"
     try:
-        cv_pps = bench_opencv(img1, img2, K)
+        # vs_baseline is always the reference's own headline configuration
+        # timed on this host (cv2 at its hardcoded defaults for the same
+        # feature family) — profiles are OUR knob, not the reference's.
+        cv_pps = cv_fn(img1, img2, K)
     except Exception as e:  # benchmark must still emit its line
         print(f"[bench] opencv baseline failed: {e}", file=sys.stderr)
         cv_pps = float("nan")
 
     result = {
-        "metric": "image pairs/sec/chip (KITTI-size 1241x376, ORB4000 "
-                  "full pipeline)",
+        "metric": metric,
         "value": round(tpu_pps, 3),
         "unit": "pairs/s",
         "vs_baseline": round(tpu_pps / cv_pps, 3) if cv_pps == cv_pps else None,

@@ -46,6 +46,17 @@ def sequence_parser(description: str, default_step: int,
                         "measured at chunk 8, docs/PERF_LOG.md)")
     p.add_argument("--devices", type=int, default=0,
                    help="Shard pairs over this many devices (0 = no mesh)")
+    p.add_argument("--seed", type=int, default=0,
+                   help="RANSAC base seed (per-pair key = seed + frame "
+                        "index; sweep seeds spaced wider than the max "
+                        "frame index, e.g. multiples of 100000)")
+    from ..config import PROFILE_NAMES
+
+    p.add_argument("--profile", choices=PROFILE_NAMES, default="parity",
+                   help="ORB work-cut profile (default: parity = the "
+                        "reference's nfeatures=4000/nlevels=12; see "
+                        "docs/API.md 'Profiles' for measured speed/accuracy"
+                        " trade-offs)")
     return p
 
 

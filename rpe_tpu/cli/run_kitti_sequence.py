@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--solver", default="5pt", choices=["5pt", "8pt"],
                    help="Minimal solver for RANSAC (default: 5pt)")
     p.add_argument("--nfeatures", type=int, default=4000)
+    from ..config import PROFILE_NAMES
+
+    p.add_argument("--profile", choices=PROFILE_NAMES, default="parity",
+                   help="ORB work-cut profile (non-parity overrides "
+                        "--nfeatures; see docs/API.md 'Profiles')")
     p.add_argument("--results-dir", default="evaluation-runs/kitti/results")
     p.add_argument("--checkpoint", default=None,
                    help="jsonl checkpoint path for resume")
@@ -126,8 +131,13 @@ def main(argv=None):
         K = CameraCalibration().get_matrix(image_width=w, image_height=h)
         print("[INFO] No calib file; scaled default intrinsics")
 
+    from ..config import profile_config
+
+    prof_cfg = profile_config(args.profile)
+    nfeat = (args.nfeatures if args.profile == "parity"
+             else prof_cfg.orb.nfeatures)
     estimator = PoseEstimator(K, feature_method="ORB",
-                              nfeatures=args.nfeatures)
+                              nfeatures=nfeat, config=prof_cfg)
     import dataclasses
 
     estimator.config = dataclasses.replace(
@@ -138,7 +148,8 @@ def main(argv=None):
     # needs the dataset slice identity in its hash (which files, in which
     # order) — otherwise a rerun with a different --step/--max-frames/
     # --images-dir would silently resume foreign poses.
-    salt = "|".join([str(images_dir.resolve()), f"step={args.step}"]
+    salt = "|".join([str(images_dir.resolve()), f"step={args.step}",
+                     f"profile={args.profile}", f"nfeatures={nfeat}"]
                     + [p.name for p in paths])
     proc = BatchProcessor(images_dir, estimator, None,
                           chunk=args.chunk, mesh=make_mesh(args.devices),

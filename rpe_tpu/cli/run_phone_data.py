@@ -33,6 +33,8 @@ def main(argv=None):
         euler_convention="zyx",  # phone uses ZYX convention
         mesh=make_mesh(args.devices),
         chunk=args.chunk,
+        profile=args.profile,
+        seed=args.seed,
     )
     pipeline.setup()
     results = pipeline.run(

@@ -32,6 +32,8 @@ def main(argv=None):
         euler_convention="yup",  # simulator uses YUP convention
         mesh=make_mesh(args.devices),
         chunk=args.chunk,
+        profile=args.profile,
+        seed=args.seed,
     )
     pipeline.setup()
     results = pipeline.run(

@@ -35,6 +35,8 @@ def main(argv=None):
         euler_convention="zyx",  # dataset uses ZYX convention
         mesh=make_mesh(args.devices),
         chunk=args.chunk,
+        profile=args.profile,
+        seed=args.seed,
     )
     pipeline.setup()
     results = pipeline.run(

@@ -99,3 +99,43 @@ class EstimatorConfig:
     matcher: MatcherConfig = MatcherConfig()
     ransac: RansacConfig = RansacConfig()
     vp: VpConfig = VpConfig()
+
+
+# ORB work-cut profiles (opt-in; CLI --profile / bench.py --profile).
+# "parity" is the reference configuration (nfeatures=4000 and nlevels=12
+# hardcoded at reference src/pipeline.py:99 and
+# src/core/pose_estimator.py:84-91 — knobs the reference never tuned).
+# The cut profiles shrink the three work terms that bound throughput on
+# this chip (docs/PERF_LOG.md roofline: extraction slots ~ nfeatures,
+# matcher dot ~ max_kpts^2, atlas rows ~ nlevels): measured pairs/s and
+# per-dataset accuracy for each profile live in docs/API.md ("Profiles").
+# max_kpts stays a multiple of 128 (fused-matcher lane constraint,
+# pipeline/estimator.py match_features).
+_PROFILES = {
+    "parity": {},
+    "orb2000": {"orb": {"nfeatures": 2000, "nlevels": 8, "max_kpts": 2048}},
+    "orb1000": {"orb": {"nfeatures": 1000, "nlevels": 6, "max_kpts": 1024}},
+    # max-speed tier: also cuts the constant-cost stages (the 5pt RANSAC
+    # batch and the match cap) that dominate once detection shrinks —
+    # 128 minimal samples ~ OpenCV's adaptive iteration count at a ~55%
+    # inlier ratio (prob 0.999), so low-texture pairs lose oversampling
+    # margin; measured accuracy per dataset in docs/API.md "Profiles".
+    "orb512": {"orb": {"nfeatures": 512, "nlevels": 4, "max_kpts": 512},
+               "matcher": {"max_matches": 256},
+               "ransac": {"num_hypotheses": 128}},
+}
+
+PROFILE_NAMES = tuple(_PROFILES)
+
+
+def profile_config(name: str = "parity",
+                   base: EstimatorConfig | None = None) -> EstimatorConfig:
+    """EstimatorConfig for a named ORB work-cut profile."""
+    if name not in _PROFILES:
+        raise ValueError(
+            f"Unknown profile {name!r}; choose from {PROFILE_NAMES}")
+    cfg = base if base is not None else EstimatorConfig()
+    for field, over in _PROFILES[name].items():
+        cfg = dataclasses.replace(
+            cfg, **{field: dataclasses.replace(getattr(cfg, field), **over)})
+    return cfg

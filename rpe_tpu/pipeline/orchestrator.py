@@ -39,6 +39,8 @@ class PoseEstimationPipeline:
         nfeatures=4000,
         mesh=None,
         chunk=8,
+        profile="parity",
+        seed=0,
     ):
         self.data_dir = Path(data_dir)
         self.images_dir = Path(images_dir) if images_dir else self.data_dir / "images"
@@ -53,9 +55,21 @@ class PoseEstimationPipeline:
         self.calibration_file = calibration_file
         self.euler_convention = euler_convention
         self.use_vp_refinement = use_vp_refinement
-        self.nfeatures = nfeatures
         self.mesh = mesh
         self.chunk = chunk
+        # ORB work-cut profile (config.profile_config): a non-parity
+        # profile owns nfeatures/nlevels/max_kpts; the explicit nfeatures
+        # kwarg (reference pipeline.py:99 API) applies only at parity.
+        from ..config import profile_config
+
+        self.profile = profile
+        self.estimator_config = profile_config(profile)
+        self.nfeatures = (nfeatures if profile == "parity"
+                          else self.estimator_config.orb.nfeatures)
+        # RANSAC base seed (per-pair key = seed + frame index,
+        # pipeline/batch.py:149). Sweeps should space seeds wider than the
+        # largest frame index so per-pair key sets cannot overlap.
+        self.seed = seed
 
         self.camera_calibration = None
         self.gt_loader = None
@@ -85,6 +99,7 @@ class PoseEstimationPipeline:
             max_matches=self.max_matches,
             nfeatures=self.nfeatures,
             use_vp_refinement=self.use_vp_refinement,
+            config=self.estimator_config,
         )
         self.batch_processor = BatchProcessor(
             images_dir=self.images_dir,
@@ -93,6 +108,7 @@ class PoseEstimationPipeline:
             euler_convention=self.euler_convention,
             mesh=self.mesh,
             chunk=self.chunk,
+            seed=self.seed,
         )
         self.pose_evaluator = PoseEvaluator(
             ground_truth_loader=self.gt_loader,

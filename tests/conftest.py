@@ -23,6 +23,14 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute mesh/pipeline XLA compiles. Fast tier: "
+        "pytest -m 'not slow' (keep it green every session); full suite "
+        "still runs everything.")
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)

@@ -56,18 +56,21 @@ class RansacConfig:
     # the Salah dataset produced 19 catastrophic pairs with 8pt vs 4 for
     # the reference; 5pt matches OpenCV within ~1-3 deg on those pairs)
     # | "8pt" (faster; fine for non-planar scenes)
-    degensac: bool = False        # dominant-plane degeneracy rescue
-    # (geometry/homography.degensac_rescue): when a homography explains
-    # >= 80% of the winning E's inliers, re-estimate E as [e']x H with the
-    # epipole pinned by off-plane match pairs and adopt it iff its
-    # OFF-PLANE support wins. The machinery is tested (synthetic scenes:
-    # exact recovery), but on real quasi-degenerate pairs (sim 150->165)
-    # the count/loss acceptance criterion cannot tell a genuinely better
-    # rescue from a worse one (measured 08-18: LS-epipole refit improves
-    # the bad-seed error 8.0 -> 2.2 deg while its off-plane inlier count
-    # DROPS 35 -> 22) — default-off until a GRIC-style H-vs-E model
-    # selection lands (docs/PERF_LOG.md round-4 item 3; the reference has
-    # no degeneracy handling at all and scores 5.77 on that pair).
+    degensac: bool = True         # degeneracy handling (default ON since
+    # round 4). Two fixed-shape mechanisms appended to ransac_essential:
+    # (1) dominant-plane rescue (geometry/homography.degensac_rescue):
+    # when a homography explains >= 80% of the winning E's inliers OR
+    # GRIC prefers H over E, re-estimate via plane-and-parallax and adopt
+    # iff off-plane support wins (synthetic-exact, tests/
+    # test_homography.py); (2) count-tie ambiguity blend (geometry/
+    # ambiguity.py): tied-count winners spread > 2.5 deg in rotation are
+    # a flat likelihood valley no image-resident criterion separates
+    # (ambiguity.py docstring has the measurements) — return their
+    # count^2-weighted chordal mean. Measured on sim 150->165 (12
+    # seeds): worst 8.01 -> 4.51 deg vs the reference's 5.77
+    # (cv2.findEssentialMat has no degeneracy handling, reference
+    # src/core/pose_estimator.py:522-527). False restores plain
+    # count+cheirality selection.
     zero_motion_px: float = 0.5   # static-pair gate: when the MEDIAN pixel
     # flow over valid matches is below this, the pair is declared
     # zero-motion and R=I, t=[0,0,1] is returned instead of the essential

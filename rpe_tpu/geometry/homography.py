@@ -124,6 +124,24 @@ def ransac_homography(key, pts1_n, pts2_n, valid_mask, threshold_n,
     return H_best, mask, jnp.sum(mask.astype(jnp.int32))
 
 
+def gric_score(d2, valid_mask, sigma2, d_dim: float, k_par: float):
+    """Torr's GRIC for a model fit over two-view correspondences.
+
+    GRIC = sum_i rho(e_i^2/sigma^2) + d*n*log(r) + k*log(r*n), with
+    rho(x) = min(x, 2*(r - d)) and r = 4 (correspondences live in R^4).
+    Essential matrix: d=3 (3-D variety), k=5; homography: d=2, k=8.
+    Lower is better. (Torr, "An assessment of information criteria for
+    motion model selection", CVPR 1997 — the H-vs-F/E selection DEGENSAC
+    builds on.) d2 are squared residuals in the same normalized units as
+    sigma2 (Sampson for E, transfer for H).
+    """
+    r = 4.0
+    n = jnp.sum(valid_mask.astype(d2.dtype))
+    rho = jnp.minimum(d2 / sigma2, 2.0 * (r - d_dim))
+    return (jnp.sum(jnp.where(valid_mask, rho, 0.0))
+            + d_dim * n * jnp.log(r) + k_par * jnp.log(r * n + _EPS))
+
+
 def _skew(e):
     """(..., 3) -> (..., 3, 3) cross-product matrix."""
     z = jnp.zeros_like(e[..., 0])
@@ -196,14 +214,28 @@ def degensac_rescue(key, E_best, inlier_mask, num_inliers,
         kH, pts1_n, pts2_n, inlier_mask, threshold_n,
         num_hypotheses=h_hypotheses)
 
-    degen = h_cnt.astype(jnp.float32) >= h_frac * num_inliers.astype(
-        jnp.float32)
+    # Degeneracy test: the original support-fraction rule OR GRIC model
+    # selection (H beats E on the whole match set => the epipolar
+    # geometry is underdetermined by the data). Measured on the real
+    # quasi-degenerate simulator pair 150->165 (.scratch/degensac_lab.py,
+    # 08-19): that pair is NOT H-degenerate by either test (H explains
+    # only ~100/245 E-inliers and GRIC_H > GRIC_E on every seed) — its
+    # failure mode is count-TIED ambiguity, handled by ambiguity_blend
+    # in geometry/ransac.py instead.
+    sigma2 = (threshold_n / 2.0) ** 2
+    d2_E = sampson_error_sq(E_best, pts1_n, pts2_n)
+    d2_E = jnp.where(jnp.isfinite(d2_E), d2_E, 16.0 * sigma2)
+    errh_all = homography_transfer_err_sq(H, pts1_n, pts2_n)
+    d2_H = jnp.where(jnp.isfinite(errh_all), errh_all, 16.0 * sigma2)
+    g_E = gric_score(d2_E, valid_mask, sigma2, d_dim=3.0, k_par=5.0)
+    g_H = gric_score(d2_H, valid_mask, sigma2, d_dim=2.0, k_par=8.0)
+    degen = (h_cnt.astype(jnp.float32)
+             >= h_frac * num_inliers.astype(jnp.float32)) | (g_H < g_E)
     # Off-plane set: complement of H membership over ALL valid matches
     # (h_mask only covered the E-inliers), with a 2x threshold margin so
     # near-plane points — whose parallax lines are too short to pin the
     # epipole — don't pollute the pair sampling.
-    errh = homography_transfer_err_sq(H, pts1_n, pts2_n)
-    dh = jnp.where(jnp.isfinite(errh), jnp.sqrt(errh), jnp.inf)
+    dh = jnp.where(jnp.isfinite(errh_all), jnp.sqrt(errh_all), jnp.inf)
     off = valid_mask & (dh > 2.0 * threshold_n)
     n_off = jnp.sum(off.astype(jnp.int32))
 

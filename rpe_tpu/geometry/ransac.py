@@ -185,15 +185,31 @@ def ransac_essential(
     num_inliers = jnp.sum(inlier_mask.astype(jnp.int32))
 
     if degensac:
-        # Dominant-plane rescue (geometry/homography.py): planar scenes
-        # admit a 2-parameter family F = [e']x H of wrong-but-well-
-        # counting models; re-estimate via plane-and-parallax when a
-        # homography explains >= 80% of the winner's support.
+        # Degeneracy handling, two mechanisms (both fixed-shape blocks):
+        # 1. Dominant-plane rescue (geometry/homography.py): planar
+        #    scenes admit a 2-parameter family F = [e']x H of wrong-but-
+        #    well-counting models; re-estimate via plane-and-parallax
+        #    when a homography explains >= 80% of the winner's support
+        #    or GRIC prefers H over E.
+        # 2. Count-tie ambiguity blend (geometry/ambiguity.py): when the
+        #    top hypotheses tie on count but disagree in rotation (a flat
+        #    likelihood valley no image-resident criterion separates —
+        #    module docstring has the measurements), return the chordal
+        #    mean of the tied set instead of an arbitrary endpoint.
+        # The blend only runs when the plane rescue did not fire: a
+        # successful rescue already re-estimated from off-plane evidence.
+        from .ambiguity import ambiguity_blend
         from .homography import degensac_rescue
 
-        E_best, inlier_mask, num_inliers, _, _ = degensac_rescue(
+        E_best, inlier_mask, num_inliers, used_pp, _ = degensac_rescue(
             jax.random.fold_in(key, 7), E_best, inlier_mask, num_inliers,
             pts1_n, pts2_n, valid_mask, threshold_n)
+        E_bl, mask_bl, n_bl, _ = ambiguity_blend(
+            E_h, score, counts, inliers_h, pts1_n, pts2_n, valid_mask,
+            threshold_n, E_best, inlier_mask, num_inliers)
+        E_best = jnp.where(used_pp, E_best, E_bl)
+        inlier_mask = jnp.where(used_pp, inlier_mask, mask_bl)
+        num_inliers = jnp.where(used_pp, num_inliers, n_bl)
 
     # Gate on the solver's minimal sample size: the reference succeeds with
     # as few as 5 matches on the 5pt path (src/core/pose_estimator.py:514;

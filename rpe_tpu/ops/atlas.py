@@ -240,9 +240,11 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
             # can flip a sample only on a round() boundary (the hardware
             # validation gate is bit-agreement > 0.999 + pose parity).
             from .extract_pallas import extract_windows_t_brief
+            from .fast import extract_nbody
 
             bits, m10, m01 = extract_windows_t_brief(
-                atlas, blurred, tbl_x0, _rel_y, interpret=_interp)
+                atlas, blurred, tbl_x0, _rel_y, interpret=_interp,
+                nbody=extract_nbody())
             return {
                 "patches_raw": None,
                 "patches_blur": None,
@@ -260,9 +262,11 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
             # (reaching past here implies _want_extract: the one-hot
             # kernel family below)
             from .extract_pallas import extract_windows_t
+            from .fast import extract_nbody
 
             blurp_t, m10, m01 = extract_windows_t(
-                atlas, blurred, tbl_x0, _rel_y, interpret=_interp)
+                atlas, blurred, tbl_x0, _rel_y, interpret=_interp,
+                nbody=extract_nbody())
             blur_t = blurp_t[:, :, :patch, :patch].reshape(
                 nb * CAP, patch, patch)
             return {

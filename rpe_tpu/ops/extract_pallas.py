@@ -175,7 +175,8 @@ def extract_windows_moments(win_raw, win_blur, tbl_x0, rel_y,
     return blur, m10.reshape(nb, CAP), m01.reshape(nb, CAP)
 
 
-def _t_extract_slots(planes, x0_ref, ry_ref, mu_ref, mv_ref, wt_ref):
+def _t_extract_slots(planes, x0_ref, ry_ref, mu_ref, mv_ref, wt_ref,
+                     nbody: int = 1):
     """Shared transposed-extraction body of _extract_t_kernel and
     _extract_t_brief_kernel (kept in ONE place: this is the trickiest
     VMEM-layout code in the repo — pad-to-128 before the transpose, edge
@@ -183,7 +184,7 @@ def _t_extract_slots(planes, x0_ref, ry_ref, mu_ref, mv_ref, wt_ref):
     and the two kernels must stay provably identical on it).
 
     v2 layout: NO one-hot matmul at all. The band window is rebuilt from
-    five overlapping (BAND, WP) atlas blocks per plane (the XLA-side
+    overlapping (BAND, WP) atlas blocks per plane (the XLA-side
     windows() materialization disappears), transposed ONCE in VMEM, and
     each keypoint slot is served by a dynamic *sublane* slice at its
     column start plus an 8-way masked accumulate over its in-band row
@@ -191,21 +192,34 @@ def _t_extract_slots(planes, x0_ref, ry_ref, mu_ref, mv_ref, wt_ref):
     _extract_kernel (docs/PERF_LOG.md roofline, "banded extraction" row);
     what remains is pure VPU data movement on 32x32 tiles.
 
+    v2.1 `nbody`: bands served per grid step. The (128, WP) transpose is
+    the kernel's dominant fixed cost (docs/PERF_LOG.md round 4: ~1.66 ms
+    of the 2.5 ms/image extraction block at nbody=1); one transpose can
+    serve up to FOUR bands because 2 planes x (8*nbody + 32) window rows
+    = 16*nbody + 64 <= 128 exactly at nbody=4 — cutting both the
+    transpose count (4x) and the overlapping-block read amplification
+    (5 blocks/band -> 2 blocks/band). Values selected are bit-identical
+    for any nbody; the slot loop just unrolls nbody*CAP bodies (Mosaic
+    program-size hazard caps nbody — see CLAUDE.md hazard #5).
+
     Patches are produced TRANSPOSED ([u, v] = [x, y]) — consumers use
     ops/orb.steered_brief_t / transposed moment masks, selecting the
     exact same values (bit-identical descriptors).
 
-    planes: the 10 (BAND, WP) refs (5 raw + 5 blur blocks). Returns
-    (blurs, m10s, m01s): CAP-length lists of (_PP, _PP) transposed blurred
-    patches and raw-patch IC moment scalars.
+    planes: the 2*(nbody+4) (BAND, WP) refs (raw blocks then blur
+    blocks). Returns (blurs, m10s, m01s): nbody*CAP-length lists (band-
+    major) of (_PP, _PP) transposed blurred patches and raw-patch IC
+    moment scalars.
     """
-    w = jnp.concatenate([p[:] for p in planes], axis=0)      # (2*WIN, WP)
-    # pad rows 80 -> 128 before transposing: Mosaic lowers f32 transposes
+    nrows = 2 * (8 * nbody + WIN - BAND)         # raw + blur plane rows
+    w = jnp.concatenate([p[:] for p in planes], axis=0)
+    # pad rows to 128 before transposing: Mosaic lowers f32 transposes
     # most reliably when the resulting LANE dim is a 128-multiple (the
     # padding lives in VMEM only and the per-slot slices below never read
-    # lanes >= 2*WIN)
-    w = jnp.concatenate(
-        [w, jnp.zeros((128 - 2 * WIN, w.shape[1]), w.dtype)], axis=0)
+    # lanes >= nrows)
+    if nrows < 128:
+        w = jnp.concatenate(
+            [w, jnp.zeros((128 - nrows, w.shape[1]), w.dtype)], axis=0)
     wt = jnp.transpose(w)                                    # (WP, 128)
     # 8 zero rows so the x0 = WP - 31 edge slice stays in bounds; staged
     # through VMEM scratch because Mosaic only supports dynamic (pl.ds)
@@ -214,42 +228,62 @@ def _t_extract_slots(planes, x0_ref, ry_ref, mu_ref, mv_ref, wt_ref):
         [wt, jnp.zeros((BAND, wt.shape[1]), wt.dtype)], axis=0)
     mu = mu_ref[:]                                           # (_PP, _PP) m.T
     mv = mv_ref[:]
+    blur_base = 8 * nbody + WIN - BAND           # first blur-plane lane
     blurs, m10s, m01s = [], [], []
-    for c in range(CAP):
-        x0c = x0_ref[0, 0, c]
-        ryc = ry_ref[0, 0, c]
-        xs = wt_ref[pl.ds(x0c, _PP), :]                      # (_PP, 128)
-        raw_t = jnp.zeros((_PP, _PP), jnp.float32)
-        blur_t = jnp.zeros((_PP, _PP), jnp.float32)
-        # exactly one r matches; masked multiply-accumulate (scalar-pred
-        # selects lower less uniformly than fma across Mosaic versions)
-        for r in range(BAND):
-            sel = (ryc == r).astype(jnp.float32)
-            raw_t = raw_t + sel * jax.lax.slice(
-                xs, (0, r), (_PP, r + _PP))
-            blur_t = blur_t + sel * jax.lax.slice(
-                xs, (0, WIN + r), (_PP, WIN + r + _PP))
-        blurs.append(blur_t)
-        m10s.append(jnp.sum(raw_t * mu))
-        m01s.append(jnp.sum(raw_t * mv))
+    for j in range(nbody):
+        for c in range(CAP):
+            idx = j * CAP + c
+            x0c = x0_ref[0, 0, idx]
+            ryc = ry_ref[0, 0, idx]
+            xs = wt_ref[pl.ds(x0c, _PP), :]                  # (_PP, 128)
+            raw_t = jnp.zeros((_PP, _PP), jnp.float32)
+            blur_t = jnp.zeros((_PP, _PP), jnp.float32)
+            # exactly one r matches; masked multiply-accumulate (scalar-
+            # pred selects lower less uniformly than fma across Mosaic
+            # versions)
+            for r in range(BAND):
+                sel = (ryc == r).astype(jnp.float32)
+                raw_t = raw_t + sel * jax.lax.slice(
+                    xs, (0, 8 * j + r), (_PP, 8 * j + r + _PP))
+                blur_t = blur_t + sel * jax.lax.slice(
+                    xs, (0, blur_base + 8 * j + r),
+                    (_PP, blur_base + 8 * j + r + _PP))
+            blurs.append(blur_t)
+            m10s.append(jnp.sum(raw_t * mu))
+            m01s.append(jnp.sum(raw_t * mv))
     return blurs, m10s, m01s
 
 
-def _extract_t_kernel(r0, r1, r2, r3, r4, b0, b1, b2, b3, b4,
-                      x0_ref, ry_ref, mu_ref, mv_ref,
-                      blur_ref, m10_ref, m01_ref, wt_ref):
+def _extract_t_kernel(nbody, *refs):
     # v2 kernel: transposed extraction + in-kernel IC moments (see
-    # _t_extract_slots for the layout details).
+    # _t_extract_slots for the layout details). refs: 2*(nbody+4) plane
+    # blocks, 4 tables, 3 outputs, 1 scratch.
+    np_ = 2 * (nbody + 4)
+    planes = refs[:np_]
+    x0_ref, ry_ref, mu_ref, mv_ref = refs[np_:np_ + 4]
+    blur_ref, m10_ref, m01_ref, wt_ref = refs[np_ + 4:]
     blurs, m10s, m01s = _t_extract_slots(
-        (r0, r1, r2, r3, r4, b0, b1, b2, b3, b4),
-        x0_ref, ry_ref, mu_ref, mv_ref, wt_ref)
+        planes, x0_ref, ry_ref, mu_ref, mv_ref, wt_ref, nbody=nbody)
     blur_ref[0] = jnp.concatenate(blurs, axis=1)
     m10_ref[0, 0] = jnp.stack(m10s)
     m01_ref[0, 0] = jnp.stack(m01s)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def extract_windows_t(atlas, blurred, tbl_x0, rel_y, interpret: bool = False):
+def _pad_tables(tbl_x0, rel_y, nb, nbody):
+    """Pad the (NB, CAP) slot tables to g*nbody bands (parked rows: x0=0,
+    rel_y=-1 — matches no unrolled r, accumulates nothing) and regroup to
+    (g, 1, nbody*CAP) SMEM blocks."""
+    g = -(-nb // nbody)
+    pad = g * nbody - nb
+    x0 = jnp.pad(tbl_x0.astype(jnp.int32), ((0, pad), (0, 0)))
+    ry = jnp.pad(rel_y.astype(jnp.int32), ((0, pad), (0, 0)),
+                 constant_values=-1)
+    return (g, x0.reshape(g, 1, nbody * CAP), ry.reshape(g, 1, nbody * CAP))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "nbody"))
+def extract_windows_t(atlas, blurred, tbl_x0, rel_y, interpret: bool = False,
+                      nbody: int = 1):
     """Transposed zero-FLOP extraction: (blur_t, m10, m01) from the atlases.
 
     atlas/blurred: (HA, WP) with HA % BAND == 0 and >= 40 dead pad rows at
@@ -262,39 +296,43 @@ def extract_windows_t(atlas, blurred, tbl_x0, rel_y, interpret: bool = False):
     (blur_t[b, c, u, v] == blurred[y0 + v, x0 + u] for u, v < 31), plus the
     raw patches' IC moments m10/m01 (NB, CAP) computed in-kernel (raw
     patches never reach HBM). Feed blur_t to ops/orb.steered_brief_t for
-    bit-identical descriptors."""
+    bit-identical descriptors. `nbody`: bands per grid step (1, 2 or 4 —
+    see _t_extract_slots v2.1)."""
     from .orb import _ic_angle_masks
 
     ha, wp = atlas.shape
     nb = ha // BAND
-    nq = WIN // BAND
+    nq = nbody + 4                               # blocks per plane
 
     mask_np, us_np, vs_np = _ic_angle_masks()
     mu_t = jnp.asarray(np.pad(mask_np * us_np, ((0, 1), (0, 1))).T)
     mv_t = jnp.asarray(np.pad(mask_np * vs_np, ((0, 1), (0, 1))).T)
+    g, x0_g, ry_g = _pad_tables(tbl_x0, rel_y, nb, nbody)
 
     def _block(q):
-        return pl.BlockSpec((BAND, wp),
-                            lambda b, q=q: (jnp.minimum(b + q, nb - 1), 0),
-                            memory_space=pltpu.VMEM)
+        return pl.BlockSpec(
+            (BAND, wp),
+            lambda b, q=q: (jnp.minimum(b * nbody + q, nb - 1), 0),
+            memory_space=pltpu.VMEM)
 
     blur, m10, m01 = pl.pallas_call(
-        _extract_t_kernel,
+        functools.partial(_extract_t_kernel, nbody),
         out_shape=(
-            jax.ShapeDtypeStruct((nb, _PP, CAP * _PP), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 1, CAP), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 1, CAP), jnp.float32),
+            jax.ShapeDtypeStruct((g, _PP, nbody * CAP * _PP), jnp.float32),
+            jax.ShapeDtypeStruct((g, 1, nbody * CAP), jnp.float32),
+            jax.ShapeDtypeStruct((g, 1, nbody * CAP), jnp.float32),
         ),
-        grid=(nb,),
+        grid=(g,),
         in_specs=(
-            [_block(q) for q in range(nq)]          # raw plane, 5 blocks
-            + [_block(q) for q in range(nq)]        # blur plane, 5 blocks
+            [_block(q) for q in range(nq)]          # raw plane blocks
+            + [_block(q) for q in range(nq)]        # blur plane blocks
             + [
-                # scalar tables travel (NB, 1, CAP): Mosaic's trailing-dims
-                # block rule applies to SMEM non-trivial windows too
-                pl.BlockSpec((1, 1, CAP), lambda b: (b, 0, 0),
+                # scalar tables travel (G, 1, nbody*CAP): Mosaic's
+                # trailing-dims block rule applies to SMEM non-trivial
+                # windows too
+                pl.BlockSpec((1, 1, nbody * CAP), lambda b: (b, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, CAP), lambda b: (b, 0, 0),
+                pl.BlockSpec((1, 1, nbody * CAP), lambda b: (b, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((_PP, _PP), lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -303,26 +341,23 @@ def extract_windows_t(atlas, blurred, tbl_x0, rel_y, interpret: bool = False):
             ]
         ),
         out_specs=(
-            pl.BlockSpec((1, _PP, CAP * _PP), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, _PP, nbody * CAP * _PP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, CAP), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 1, nbody * CAP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, CAP), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 1, nbody * CAP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[pltpu.VMEM((wp + BAND, 128), jnp.float32)],
         interpret=interpret,
-    )(*([atlas] * nq + [blurred] * nq
-        + [tbl_x0.astype(jnp.int32).reshape(nb, 1, CAP),
-           rel_y.astype(jnp.int32).reshape(nb, 1, CAP), mu_t, mv_t]))
-    blur = blur.reshape(nb, _PP, CAP, _PP).transpose(0, 2, 1, 3)
-    return blur, m10.reshape(nb, CAP), m01.reshape(nb, CAP)
+    )(*([atlas] * nq + [blurred] * nq + [x0_g, ry_g, mu_t, mv_t]))
+    blur = blur.reshape(g, _PP, nbody, CAP, _PP).transpose(0, 2, 3, 1, 4)
+    blur = blur.reshape(g * nbody, CAP, _PP, _PP)[:nb]
+    return (blur, m10.reshape(g * nbody, CAP)[:nb],
+            m01.reshape(g * nbody, CAP)[:nb])
 
 
-def _extract_t_brief_kernel(quant, r0, r1, r2, r3, r4, b0, b1, b2, b3, b4,
-                            x0_ref, ry_ref, mu_ref, mv_ref,
-                            patx_ref, paty_ref,
-                            bits_ref, m10_ref, m01_ref, wt_ref):
+def _extract_t_brief_kernel(quant, nbody, *refs):
     # v3 kernel: _extract_t_kernel + steered BRIEF in-kernel. The blurred
     # patches never reach HBM: per slot, the IC rotation (cos/sin) is
     # derived from the in-kernel moments by normalization (no atan2 —
@@ -334,10 +369,15 @@ def _extract_t_brief_kernel(quant, r0, r1, r2, r3, r4, b0, b1, b2, b3, b4,
     # arctan2->cos/sin chain — bit-identical in interpret mode up to ULP;
     # a differing sample needs round() to sit on a .5 boundary).
     # patx/paty: (2, 256) f32 — pattern point j's x/y per pair lane.
+    # refs: 2*(nbody+4) plane blocks, 6 tables, 3 outputs, 1 scratch
+    # (nbody: bands per grid step, see _t_extract_slots v2.1).
+    np_ = 2 * (nbody + 4)
+    planes = refs[:np_]
+    x0_ref, ry_ref, mu_ref, mv_ref, patx_ref, paty_ref = refs[np_:np_ + 6]
+    bits_ref, m10_ref, m01_ref, wt_ref = refs[np_ + 6:]
     blurs, m10s, m01s = _t_extract_slots(
-        (r0, r1, r2, r3, r4, b0, b1, b2, b3, b4),
-        x0_ref, ry_ref, mu_ref, mv_ref, wt_ref)
-    m10v = jnp.stack(m10s)[None, :]                          # (1, CAP)
+        planes, x0_ref, ry_ref, mu_ref, mv_ref, wt_ref, nbody=nbody)
+    m10v = jnp.stack(m10s)[None, :]                          # (1, nbody*CAP)
     m01v = jnp.stack(m01s)[None, :]
     # cos/sin of atan2(m01, m10) by direct normalization — Mosaic has no
     # atan2 lowering, and cos(atan2(y, x)) == x/hypot exactly in real
@@ -351,7 +391,7 @@ def _extract_t_brief_kernel(quant, r0, r1, r2, r3, r4, b0, b1, b2, b3, b4,
 
     rows32 = jax.lax.broadcasted_iota(jnp.int32, (_PP, 256), 0)
     bits = []
-    for c in range(CAP):
+    for c in range(nbody * CAP):
         ca = cav[0, c]
         sa = sav[0, c]
         vals = []
@@ -373,15 +413,16 @@ def _extract_t_brief_kernel(quant, r0, r1, r2, r3, r4, b0, b1, b2, b3, b4,
             # mirror orb._brief_bits's cv2-interop quantization (static)
             vals.append(jnp.round(v) if quant else v)
         bits.append((vals[0] < vals[1]).astype(jnp.float32))
-    bits_ref[0] = jnp.concatenate(bits, axis=0)              # (CAP, 256)
+    bits_ref[0] = jnp.concatenate(bits, axis=0)         # (nbody*CAP, 256)
     m10_ref[0, 0] = jnp.stack(m10s)
     m01_ref[0, 0] = jnp.stack(m01s)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "quant"))
+@functools.partial(jax.jit, static_argnames=("interpret", "quant", "nbody"))
 def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
                             interpret: bool = False,
-                            quant: bool | None = None):
+                            quant: bool | None = None,
+                            nbody: int = 1):
     """Transposed extraction with IC moments AND steered BRIEF in-kernel.
 
     Same inputs as `extract_windows_t`; returns (bits, m10, m01) with
@@ -389,7 +430,9 @@ def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
     The pattern is ops/orb.brief_pattern() (honors RPE_BRIEF), rotated per
     slot by the in-kernel IC angle; the sampling contraction is the exact
     one-hot selection of orb.steered_brief_t. Reference behavior:
-    cv2 ORB computeOrbDescriptors (src/core/pose_estimator.py:84-108)."""
+    cv2 ORB computeOrbDescriptors (src/core/pose_estimator.py:84-108).
+    `nbody`: bands per grid step (1, 2 or 4 — one VMEM transpose serves
+    nbody bands; bit-identical for any value, see _t_extract_slots)."""
     import os
 
     from .orb import _ic_angle_masks, brief_pattern
@@ -405,7 +448,7 @@ def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
 
     ha, wp = atlas.shape
     nb = ha // BAND
-    nq = WIN // BAND
+    nq = nbody + 4                               # blocks per plane
 
     mask_np, us_np, vs_np = _ic_angle_masks()
     mu_t = jnp.asarray(np.pad(mask_np * us_np, ((0, 1), (0, 1))).T)
@@ -413,27 +456,29 @@ def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
     pat = np.asarray(brief_pattern(), dtype=np.float32)      # (256, 2, 2)
     patx = jnp.asarray(pat[:, :, 0].T.copy())                # (2, 256)
     paty = jnp.asarray(pat[:, :, 1].T.copy())
+    g, x0_g, ry_g = _pad_tables(tbl_x0, rel_y, nb, nbody)
 
     def _block(q):
-        return pl.BlockSpec((BAND, wp),
-                            lambda b, q=q: (jnp.minimum(b + q, nb - 1), 0),
-                            memory_space=pltpu.VMEM)
+        return pl.BlockSpec(
+            (BAND, wp),
+            lambda b, q=q: (jnp.minimum(b * nbody + q, nb - 1), 0),
+            memory_space=pltpu.VMEM)
 
     bits, m10, m01 = pl.pallas_call(
-        functools.partial(_extract_t_brief_kernel, quant),
+        functools.partial(_extract_t_brief_kernel, quant, nbody),
         out_shape=(
-            jax.ShapeDtypeStruct((nb, CAP, 256), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 1, CAP), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 1, CAP), jnp.float32),
+            jax.ShapeDtypeStruct((g, nbody * CAP, 256), jnp.float32),
+            jax.ShapeDtypeStruct((g, 1, nbody * CAP), jnp.float32),
+            jax.ShapeDtypeStruct((g, 1, nbody * CAP), jnp.float32),
         ),
-        grid=(nb,),
+        grid=(g,),
         in_specs=(
-            [_block(q) for q in range(nq)]          # raw plane, 5 blocks
-            + [_block(q) for q in range(nq)]        # blur plane, 5 blocks
+            [_block(q) for q in range(nq)]          # raw plane blocks
+            + [_block(q) for q in range(nq)]        # blur plane blocks
             + [
-                pl.BlockSpec((1, 1, CAP), lambda b: (b, 0, 0),
+                pl.BlockSpec((1, 1, nbody * CAP), lambda b: (b, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, CAP), lambda b: (b, 0, 0),
+                pl.BlockSpec((1, 1, nbody * CAP), lambda b: (b, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((_PP, _PP), lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -446,21 +491,21 @@ def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
             ]
         ),
         out_specs=(
-            pl.BlockSpec((1, CAP, 256), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, nbody * CAP, 256), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, CAP), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 1, nbody * CAP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, CAP), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 1, nbody * CAP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[pltpu.VMEM((wp + BAND, 128), jnp.float32)],
         interpret=interpret,
     )(*([atlas] * nq + [blurred] * nq
-        + [tbl_x0.astype(jnp.int32).reshape(nb, 1, CAP),
-           rel_y.astype(jnp.int32).reshape(nb, 1, CAP),
-           mu_t, mv_t, patx, paty]))
-    return (bits.astype(jnp.uint8), m10.reshape(nb, CAP),
-            m01.reshape(nb, CAP))
+        + [x0_g, ry_g, mu_t, mv_t, patx, paty]))
+    bits = bits.reshape(g * nbody, CAP, 256)[:nb]
+    return (bits.astype(jnp.uint8),
+            m10.reshape(g * nbody, CAP)[:nb],
+            m01.reshape(g * nbody, CAP)[:nb])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -157,6 +157,25 @@ def kernel_gate(name: str) -> bool:
     return v.strip().lower() not in _GATE_OFF
 
 
+def extract_nbody() -> int:
+    """Bands served per grid step by the transposed extraction kernels
+    (extract_pallas.extract_windows_t / _t_brief `nbody`). One VMEM
+    transpose serves nbody bands, cutting the kernels' dominant fixed
+    staging cost (docs/PERF_LOG.md round 4); values are bit-identical for
+    any setting. Env RPE_EXTRACT_T_NBODY in {1, 2, 4}; default 1 until a
+    measured + validated winner flips it. Same trace-time-baking hazard
+    as kernel_gate.
+    """
+    import os
+
+    v = os.environ.get("RPE_EXTRACT_T_NBODY", "").strip()
+    try:
+        n = int(v) if v else 1
+    except ValueError:
+        return 1
+    return n if n in (1, 2, 4) else 1
+
+
 def detect_level(img, threshold: float, margin: int, quota: int):
     """FAST + nonmax + Harris top-`quota` selection on one pyramid level.
 

@@ -463,6 +463,46 @@ def test_extract_t_brief_kernel_bit_identical():
     np.testing.assert_array_equal(np.asarray(bits_q), ref_q)
 
 
+@pytest.mark.parametrize("nbody", [2, 4])
+def test_extract_t_nbody_bit_identical(nbody):
+    """nbody > 1 (one VMEM transpose serving nbody bands,
+    _t_extract_slots v2.1) must be bit-identical to nbody=1 for BOTH
+    transposed kernels. nb=15 is deliberately not a multiple of 4 so the
+    _pad_tables parked-band path is exercised. Bands whose window blocks
+    are clamped at the atlas edge (the last WIN//BAND-1 bands, parked-only
+    in production per atlas_layout) are excluded: clamping composes
+    differently per nbody there."""
+    from rpe_tpu.ops.atlas import BAND, CAP, WIN
+    from rpe_tpu.ops.extract_pallas import (extract_windows_t,
+                                            extract_windows_t_brief)
+
+    rng = np.random.default_rng(11 + nbody)
+    nb, wp, patch = 15, 256, 31
+    ha = nb * BAND
+    atlas = rng.uniform(0, 255, (ha, wp)).astype(np.float32)
+    blurred = rng.uniform(0, 255, (ha, wp)).astype(np.float32)
+    tbl_x0 = rng.integers(0, wp - patch + 1, (nb, CAP)).astype(np.int32)
+    tbl_x0[0, 0] = wp - patch          # right-edge slice must stay exact
+    rel_y = rng.integers(0, BAND, (nb, CAP)).astype(np.int32)
+    args = (jnp.asarray(atlas), jnp.asarray(blurred),
+            jnp.asarray(tbl_x0), jnp.asarray(rel_y))
+    ok = nb - (WIN // BAND - 1)        # unclamped band count
+
+    base = extract_windows_t(*args, interpret=True, nbody=1)
+    out = extract_windows_t(*args, interpret=True, nbody=nbody)
+    for a, b in zip(base, out):
+        np.testing.assert_array_equal(np.asarray(a)[:ok],
+                                      np.asarray(b)[:ok])
+    assert out[0].shape == base[0].shape
+
+    base_b = extract_windows_t_brief(*args, interpret=True, nbody=1)
+    out_b = extract_windows_t_brief(*args, interpret=True, nbody=nbody)
+    for a, b in zip(base_b, out_b):
+        np.testing.assert_array_equal(np.asarray(a)[:ok],
+                                      np.asarray(b)[:ok])
+    assert out_b[0].shape == base_b[0].shape
+
+
 def test_extract_t_brief_end_to_end(gray):
     """Full atlas ORB with RPE_EXTRACT_T_BRIEF=1 (descriptors in-kernel) vs
     RPE_EXTRACT_T alone: identical outputs in interpret mode (the v3 kernel

@@ -1,0 +1,141 @@
+"""Seed-stability invariants (VERDICT round-3 item 4).
+
+Two layers:
+
+1. A live synthetic sweep: the full ransac_essential -> recover_pose
+   chain at 5 different PRNG seeds on a well-conditioned scene must agree
+   to a tight rotation spread. This pins the ALGORITHM's seed sensitivity
+   (a regression here means sampling/selection became luck-dependent).
+
+2. Gates on the committed full-dataset sweep artifact
+   (results/seed_stability.csv, produced by .scratch/tpu_seed_sweep.sh on
+   real TPU at >= 5 seeds): the committed golden CSVs must lie within the
+   seed ensemble's per-pair envelope, and the across-seed dataset-mean
+   spread must stay small. This converts "the salah 3.33->3.77 drift is
+   symmetric RANSAC noise" from a claim into a tested invariant — a real
+   per-pair regression can no longer hide in reseeding noise.
+
+Reference practice being matched: golden-CSV-by-convention regression
+(SURVEY.md §4 item 1), done with measured error bars.
+"""
+import csv
+from pathlib import Path
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+REPO = Path(__file__).resolve().parent.parent
+
+# Pairs where the image data genuinely does not determine the model
+# (flat likelihood valley between count-tied essential models, measured
+# in docs/PERF_LOG.md round 4): exempt from the per-pair envelope gate.
+AMBIGUOUS = {("simulator", 165), ("simulator", 705)}
+
+# Sweep artifact tolerances. The committed golden is ONE seed's draw plus
+# backend (TPU vs sweep-run) noise; envelope slack must cover the
+# measured per-pair jitter of a NON-ambiguous pair (<~0.3 deg).
+ENVELOPE_SLACK = 0.5          # deg beyond the ensemble min/max
+MEAN_SPREAD_MAX = {"simulator": 0.40, "salah": 0.60, "phone": 0.60}
+
+
+def test_synthetic_seed_spread():
+    from rpe_tpu.geometry.ransac import ransac_essential
+    from rpe_tpu.geometry.recover_pose import recover_pose
+    from rpe_tpu.geometry.rotations import rotation_error_np
+
+    rng = np.random.default_rng(17)
+    n = 240
+    pts3 = rng.uniform([-2, -2, 4], [2, 2, 10], (n, 3))
+    a = np.deg2rad(3.0)
+    R = np.array([[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                  [-np.sin(a), 0, np.cos(a)]])
+    t = np.array([0.3, 0.1, 0.05])
+    p1 = pts3 / pts3[:, 2:3]
+    q = (pts3 - t) @ R                      # cam2 = R^T (X - t)
+    p2 = q / q[:, 2:3]
+    x1 = jnp.asarray(p1[:, :2] + rng.normal(0, 4e-4, (n, 2)))
+    x2c = p2[:, :2] + rng.normal(0, 4e-4, (n, 2))
+    x2c[:40] = rng.uniform(-0.5, 0.5, (40, 2))
+    x2 = jnp.asarray(x2c)
+    valid = jnp.ones(n, bool)
+
+    errs = []
+    for s in range(5):
+        r = ransac_essential(jax.random.PRNGKey(s), x1, x2, valid, 1e-3)
+        Re, _, _, _ = recover_pose(r["E"], x1, x2, valid,
+                                   inlier_mask=r["inlier_mask"])
+        assert bool(r["ok"])
+        errs.append(rotation_error_np(np.asarray(Re), R.T))
+    errs = np.array(errs)
+    # all seeds accurate, and seed-to-seed spread tight (measured jitter
+    # at this noise level: 0.04-0.30 deg across seeds — the bound is a
+    # regression tripwire ~30% above, not a precision claim)
+    assert errs.max() < 0.5, errs
+    assert errs.max() - errs.min() < 0.40, errs
+
+
+def _read_errs(path):
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    return {int(float(r["frame"])): float(r["rotation_error"])
+            for r in rows}
+
+
+_GOLDEN_DIR = {"simulator": "simulator-data", "salah": "vo_dataset_salah",
+               "phone": "phone-data", "sim": "simulator-data"}
+
+
+@pytest.mark.slow
+def test_committed_goldens_within_seed_envelope():
+    art = REPO / "results" / "seed_stability.csv"
+    if not art.exists():
+        pytest.skip("seed sweep artifact not yet generated "
+                    "(.scratch/tpu_seed_sweep.sh)")
+    with open(art) as f:
+        rows = list(csv.DictReader(f))
+    by_ds = {}
+    for r in rows:
+        ds = {"sim": "simulator"}.get(r["dataset"], r["dataset"])
+        by_ds.setdefault(ds, {})[int(float(r["frame"]))] = r
+
+    assert by_ds, "empty sweep artifact"
+    for ds, pairs in by_ds.items():
+        golden = REPO / "results" / _GOLDEN_DIR[ds] / \
+            "evaluation_results.csv"
+        gerrs = _read_errs(golden)
+        missing = set(gerrs) - set(pairs)
+        assert not missing, f"{ds}: sweep missing frames {missing}"
+        viol = []
+        for fr, err in gerrs.items():
+            if (ds, fr) in AMBIGUOUS:
+                continue
+            lo = float(pairs[fr]["rot_min"]) - ENVELOPE_SLACK
+            hi = float(pairs[fr]["rot_max"]) + ENVELOPE_SLACK
+            if not (lo <= err <= hi):
+                viol.append((fr, err, lo, hi))
+        assert not viol, f"{ds}: golden outside seed envelope: {viol}"
+
+
+@pytest.mark.slow
+def test_dataset_mean_seed_spread_bounded():
+    art = REPO / "results" / "seed_stability.csv"
+    if not art.exists():
+        pytest.skip("seed sweep artifact not yet generated")
+    with open(art) as f:
+        rows = list(csv.DictReader(f))
+    by_ds = {}
+    for r in rows:
+        ds = {"sim": "simulator"}.get(r["dataset"], r["dataset"])
+        by_ds.setdefault(ds, []).append(
+            (float(r["rot_min"]), float(r["rot_max"]),
+             float(r["rot_mean"])))
+    for ds, vals, in by_ds.items():
+        v = np.array(vals)
+        # across-seed dataset-mean spread: the mean over pairs of
+        # (max - min) overstates it (maxima don't align across seeds), so
+        # bound mean(max) - mean(min) — the widest the per-seed dataset
+        # mean can swing.
+        spread = v[:, 1].mean() - v[:, 0].mean()
+        assert spread < MEAN_SPREAD_MAX[ds] + 1e-9, (ds, spread)

@@ -320,6 +320,16 @@ def _disable_failed_kernels() -> list:
         if marker in log and os.environ.get(gate) is None:
             os.environ[gate] = "0"
             disabled.append(gate)
+    # Opportunistic (non-protective) adoption: multi-band extraction.
+    # nbody > 1 is opt-in (library default 1), so enable the FASTEST
+    # PASS-marked value from this host's validation run. Bit-identical by
+    # construction; the hardware PASS is about the Mosaic lowering.
+    if os.environ.get("RPE_EXTRACT_T_NBODY") is None:
+        for marker, val in (("T_BRIEF3_NB4 PASS", "4"),
+                            ("T_BRIEF3_NB2 PASS", "2")):
+            if marker in log:
+                os.environ["RPE_EXTRACT_T_NBODY"] = val
+                break
     return disabled
 
 

@@ -299,6 +299,11 @@ _FAIL_MARKER_GATES = (
     # bit-parity (Mosaic transcendental ULPs); its section failure line
     # "T_BRIEF3 CSV-AB FAILED" contains this marker
     ("T_BRIEF3 CSV-AB FAIL", "RPE_EXTRACT_T_BRIEF"),
+    # multi-band extraction defaults to nbody=4 (validated 08-19); a
+    # recorded NB failure forces the single-band fallback ("0" -> 1 in
+    # ops/fast.extract_nbody)
+    ("T_BRIEF3_NB4 FAILED", "RPE_EXTRACT_T_NBODY"),
+    ("T_BRIEF3_NB2 FAILED", "RPE_EXTRACT_T_NBODY"),
 )
 
 
@@ -320,16 +325,6 @@ def _disable_failed_kernels() -> list:
         if marker in log and os.environ.get(gate) is None:
             os.environ[gate] = "0"
             disabled.append(gate)
-    # Opportunistic (non-protective) adoption: multi-band extraction.
-    # nbody > 1 is opt-in (library default 1), so enable the FASTEST
-    # PASS-marked value from this host's validation run. Bit-identical by
-    # construction; the hardware PASS is about the Mosaic lowering.
-    if os.environ.get("RPE_EXTRACT_T_NBODY") is None:
-        for marker, val in (("T_BRIEF3_NB4 PASS", "4"),
-                            ("T_BRIEF3_NB2 PASS", "2")):
-            if marker in log:
-                os.environ["RPE_EXTRACT_T_NBODY"] = val
-                break
     return disabled
 
 

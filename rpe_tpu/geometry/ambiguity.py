@@ -14,14 +14,19 @@ likelihood valley is flat, and plain count selection draws a lottery
 cv2.findEssentialMat, reference src/core/pose_estimator.py:522-527,
 draws the same lottery and happened to score 5.77).
 
-Mitigation: detect the tie (count-tied, deduplicated candidates whose
-mutual rotation diameter exceeds `diam_deg`) and return the
-count^2-weighted CHORDAL MEAN of the tied set — the posterior mean over
-a flat likelihood — instead of an arbitrary valley endpoint. Measured
-(12 seeds, grid over margin/weights in .scratch/blend_lab.py): pair
-150->165 worst seed 8.01 -> 4.51 deg, mean 2.35 -> 3.37; ambiguous
-control 690->705 worst 4.51 -> 3.26; clean pairs (0->15, 300->315,
-600->615) fire rarely and move < 0.1 deg.
+Mitigation: REFIT the score-top candidates on their own inlier sets
+(two least-squares rounds — collapses same-model minimal-sample noise so
+clean pairs cannot fake a tie; v2, round 4), then detect the tie
+(refit-count-tied, deduplicated candidates whose mutual rotation
+diameter exceeds `diam_deg`) and return the count^2-weighted CHORDAL
+MEAN of the tied set — the posterior mean over a flat likelihood —
+instead of an arbitrary valley endpoint. Measured (12 seeds,
+.scratch/regress_lab.py at margin 0.05 / diam 3.0): ambiguous pairs
+150->165 worst seed 8.01 -> 4.62 (mean 2.35 -> 2.50), 195->210 worst
+14.31 -> 4.80 (mean 5.37 -> 3.66), 765->780 worst 1.61 -> 1.47; clean
+pairs 615->630 bit-identical, 165->180 mean 0.24 -> 0.29 (one seed
+fires at 1.46 — the residual cost of bounding the ambiguous worst
+case).
 
 Everything is fixed-shape and jittable: the blend is always computed and
 selected with jnp.where.
@@ -32,7 +37,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .epipolar import project_to_essential, sampson_error_sq
+from .epipolar import eight_point, project_to_essential, sampson_error_sq
 
 _EPS = 1e-12
 
@@ -62,8 +67,8 @@ def _rot_angle_deg(Ri, Rj):
 
 def ambiguity_blend(E_h, score, counts, inliers_h, pts1_n, pts2_n,
                     valid_mask, threshold_n, E_best, inlier_mask,
-                    num_inliers, *, topk: int = 16, margin: float = 0.08,
-                    dedupe_deg: float = 0.5, diam_deg: float = 2.5):
+                    num_inliers, *, topk: int = 16, margin: float = 0.05,
+                    dedupe_deg: float = 0.5, diam_deg: float = 3.0):
     """Detect a count-tied, rotation-spread winner set; blend if found.
 
     Args mirror ransac_essential internals: E_h (H, 3, 3) hypothesis
@@ -78,17 +83,54 @@ def ambiguity_blend(E_h, score, counts, inliers_h, pts1_n, pts2_n,
     k = min(topk, int(E_h.shape[0]))
     _, top_idx = jax.lax.top_k(score, k)
     E_top = E_h[top_idx]                                  # (k, 3, 3)
-    cnt_top = counts[top_idx].astype(jnp.float32)         # (k,)
+    m_top = inliers_h[top_idx]                            # (k, N)
+    thr2_r = threshold_n * threshold_n
+
+    # REFIT each tied candidate before judging the tie (v2, round 4): raw
+    # minimal 5pt models carry sample noise, so on a CLEAN pair the
+    # score-top candidates can spread > diam_deg while all describing the
+    # same model — the v1 gate then replaced an excellent refit winner
+    # with their mean (measured: sim 165->180 mean 0.24 -> 0.38, 615->630
+    # 0.21 -> 0.41 across 12 seeds, .scratch/regress_lab.py). Two
+    # least-squares rounds collapse same-model candidates onto each other
+    # (dedupe then leaves one and the blend cannot fire), while on a
+    # genuinely ambiguous pair the families refit to their own optima and
+    # the tie/diameter survives (165: worst 8.01 -> 4.51 stays; 195->210:
+    # mean 5.37 -> 3.27 stays).
+    def _refit_pool(EM, _):
+        E_c, m_c = EM
+        w = m_c.astype(pts1_n.dtype)                      # (k, N)
+        enough = jnp.sum(m_c.astype(jnp.int32), axis=1) >= 8
+        E_new = jax.vmap(lambda wi: eight_point(pts1_n, pts2_n,
+                                                weights=wi))(w)
+        E_new, _, _ = jax.vmap(project_to_essential)(E_new)
+        d2 = jax.vmap(lambda Ei: sampson_error_sq(Ei, pts1_n,
+                                                  pts2_n))(E_new)
+        m_new = (d2 < thr2_r) & valid_mask[None, :]
+        better = (jnp.sum(m_new.astype(jnp.int32), axis=1)
+                  >= jnp.sum(m_c.astype(jnp.int32), axis=1))
+        take = enough & better
+        E_o = jnp.where(take[:, None, None], E_new, E_c)
+        m_o = jnp.where(take[:, None], m_new, m_c)
+        return (E_o, m_o), None
+
+    (E_top, m_top), _ = jax.lax.scan(_refit_pool, (E_top, m_top), None,
+                                     length=2)
+    cnt_top = jnp.sum(m_top.astype(jnp.int32), axis=1).astype(jnp.float32)
     R_top, t_top, _, _ = jax.vmap(
         lambda Ei, mi: recover_pose(Ei, pts1_n, pts2_n, valid_mask,
                                     inlier_mask=mi)
-    )(E_top, inliers_h[top_idx])
+    )(E_top, m_top)
 
-    # tie set: counts within `margin` of the best (top_k is score-sorted)
-    tied = cnt_top >= (1.0 - margin) * cnt_top[0]
-    # dedupe: drop i when a better-ranked tied j sits within dedupe_deg
+    # tie set: refit counts within `margin` of the pool's best
+    tied = cnt_top >= (1.0 - margin) * jnp.max(cnt_top)
+    # dedupe: drop i when a better tied j sits within dedupe_deg ("better"
+    # = higher refit count, earlier pool index breaking exact ties — the
+    # pre-refit score order no longer ranks the refit models)
     ang = _rot_angle_deg(R_top[:, None], R_top[None])     # (k, k)
-    better = (jnp.arange(k)[None, :] < jnp.arange(k)[:, None])
+    idx = jnp.arange(k)
+    better = (cnt_top[None, :] > cnt_top[:, None]) | (
+        (cnt_top[None, :] == cnt_top[:, None]) & (idx[None, :] < idx[:, None]))
     dup = jnp.any(better & tied[None, :] & (ang < dedupe_deg), axis=1)
     keep = tied & ~dup
     n_keep = jnp.sum(keep.astype(jnp.int32))
@@ -99,12 +141,15 @@ def ambiguity_blend(E_h, score, counts, inliers_h, pts1_n, pts2_n,
     w = jnp.where(keep, cnt_top * cnt_top, 0.0)
     w = w / (jnp.sum(w) + _EPS)
     R_b = _polar_rotation(jnp.einsum("i,iab->ab", w, R_top))
-    # translation: sign-align to the best candidate, then weighted mean
-    sgn = jnp.sign(jnp.einsum("ia,a->i", t_top, t_top[0]) + _EPS)
+    # translation: sign-align to the highest-weight kept candidate, then
+    # weighted mean
+    ref = jnp.argmax(w)
+    t_ref = jnp.take(t_top, ref, axis=0)
+    sgn = jnp.sign(jnp.einsum("ia,a->i", t_top, t_ref) + _EPS)
     t_b = jnp.einsum("i,ia->a", w * sgn, t_top)
     t_norm = jnp.linalg.norm(t_b)
     t_ok = t_norm > 1e-6
-    t_b = jnp.where(t_ok, t_b / (t_norm + _EPS), t_top[0])
+    t_b = jnp.where(t_ok, t_b / (t_norm + _EPS), t_ref)
 
     tx = jnp.array([
         [0.0, -t_b[2], t_b[1]],

@@ -160,20 +160,23 @@ def kernel_gate(name: str) -> bool:
 def extract_nbody() -> int:
     """Bands served per grid step by the transposed extraction kernels
     (extract_pallas.extract_windows_t / _t_brief `nbody`). One VMEM
-    transpose serves nbody bands, cutting the kernels' dominant fixed
-    staging cost (docs/PERF_LOG.md round 4); values are bit-identical for
-    any setting. Env RPE_EXTRACT_T_NBODY in {1, 2, 4}; default 1 until a
-    measured + validated winner flips it. Same trace-time-baking hazard
-    as kernel_gate.
+    transpose serves nbody bands, cutting the kernels' in-kernel staging
+    (docs/PERF_LOG.md round 4); values are bit-identical for any setting.
+    Env RPE_EXTRACT_T_NBODY in {1, 2, 4}; default 4 — hardware-validated
+    08-19 ("T_BRIEF3_NB4 PASS", bit-agreement 1.00000) and the fastest
+    measured variant (full detect 3.773 -> 3.608 ms/image at parity).
+    Same trace-time-baking hazard as kernel_gate.
     """
     import os
 
     v = os.environ.get("RPE_EXTRACT_T_NBODY", "").strip()
     try:
-        n = int(v) if v else 1
+        n = int(v) if v else 4
     except ValueError:
-        return 1
-    return n if n in (1, 2, 4) else 1
+        return 4
+    if n in (1, 2, 4):
+        return n
+    return 1 if n <= 1 else 4        # "0"/off -> single-band fallback
 
 
 def detect_level(img, threshold: float, margin: int, quota: int):

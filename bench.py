@@ -325,6 +325,13 @@ def _disable_failed_kernels() -> list:
         if marker in log and os.environ.get(gate) is None:
             os.environ[gate] = "0"
             disabled.append(gate)
+    # Opportunistic adoption of DEFAULT-OFF, bit-identical variants whose
+    # hardware PASS marker is on record for this host (the nbody pattern):
+    # the v4 slot-diet brief kernel. Prefer the NB4 section's marker (the
+    # default nbody is 4); the plain T_BRIEF4 marker also qualifies.
+    if os.environ.get("RPE_EXTRACT_T_BRIEF_V4") is None and (
+            "T_BRIEF4_NB4 PASS" in log or "T_BRIEF4 PASS" in log):
+        os.environ["RPE_EXTRACT_T_BRIEF_V4"] = "1"
     return disabled
 
 

@@ -244,7 +244,8 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
 
             bits, m10, m01 = extract_windows_t_brief(
                 atlas, blurred, tbl_x0, _rel_y, interpret=_interp,
-                nbody=extract_nbody())
+                nbody=extract_nbody(),
+                diet=kernel_gate("RPE_EXTRACT_T_BRIEF_V4"))
             return {
                 "patches_raw": None,
                 "patches_blur": None,

@@ -418,11 +418,94 @@ def _extract_t_brief_kernel(quant, nbody, *refs):
     m01_ref[0, 0] = jnp.stack(m01s)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "quant", "nbody"))
+def _extract_t_brief_kernel_v4(quant, nbody, *refs):
+    # v4 "slot diet" kernel (round 4): same outputs as
+    # _extract_t_brief_kernel, bit-identical by construction, ~0.5x the
+    # per-slot VPU work. Two changes inside the slot loop:
+    #   1. The blurred patch is never extracted. The BRIEF sample
+    #      blur[iy[p]] is selected DIRECTLY from the 40-lane band window
+    #      by folding the slot's in-band row offset into the one-hot:
+    #      q = xs_win(32, 40) @ (rows40 == iy + ryc) — selecting
+    #      xs[u, blur_base + 8j + ryc + iy[p]], exactly the value the v3
+    #      chain blur_t[u, iy[p]] selects (one nonzero per column, so the
+    #      dot is exact). Kills 8 of the 16 masked slice-FMAs per slot.
+    #   2. Both BRIEF sample points ride ONE (32, 40) @ (40, 512) MXU dot
+    #      (columns = 2 x 256 pair lanes) instead of two K=32 dots.
+    # The raw patch extraction + IC moments stay the v3 masked-accumulate
+    # code (bit-exact continuity of the angle chain).
+    np_ = 2 * (nbody + 4)
+    planes = refs[:np_]
+    x0_ref, ry_ref, mu_ref, mv_ref, patx_ref, paty_ref = refs[np_:np_ + 6]
+    bits_ref, m10_ref, m01_ref, wt_ref = refs[np_ + 6:]
+
+    nrows = 2 * (8 * nbody + WIN - BAND)
+    w = jnp.concatenate([p[:] for p in planes], axis=0)
+    if nrows < 128:
+        w = jnp.concatenate(
+            [w, jnp.zeros((128 - nrows, w.shape[1]), w.dtype)], axis=0)
+    wtp = jnp.transpose(w)
+    wt_ref[:] = jnp.concatenate(
+        [wtp, jnp.zeros((BAND, wtp.shape[1]), wtp.dtype)], axis=0)
+    mu = mu_ref[:]
+    mv = mv_ref[:]
+    blur_base = 8 * nbody + WIN - BAND
+
+    rows40 = jax.lax.broadcasted_iota(jnp.int32, (WIN, 512), 0)
+    rows32 = jax.lax.broadcasted_iota(jnp.int32, (_PP, 512), 0)
+    px2 = jnp.concatenate([patx_ref[0:1, :], patx_ref[1:2, :]], axis=1)
+    py2 = jnp.concatenate([paty_ref[0:1, :], paty_ref[1:2, :]], axis=1)
+
+    bits, m10s, m01s = [], [], []
+    for j in range(nbody):
+        for c in range(CAP):
+            idx = j * CAP + c
+            x0c = x0_ref[0, 0, idx]
+            ryc = ry_ref[0, 0, idx]
+            xs = wt_ref[pl.ds(x0c, _PP), :]                  # (_PP, 128)
+            raw_t = jnp.zeros((_PP, _PP), jnp.float32)
+            for r in range(BAND):
+                sel = (ryc == r).astype(jnp.float32)
+                raw_t = raw_t + sel * jax.lax.slice(
+                    xs, (0, 8 * j + r), (_PP, 8 * j + r + _PP))
+            m10 = jnp.sum(raw_t * mu)
+            m01 = jnp.sum(raw_t * mv)
+            m10s.append(m10)
+            m01s.append(m01)
+            # cos/sin by normalization — identical chain to v3
+            r_ = jnp.sqrt(m10 * m10 + m01 * m01)
+            rsafe = jnp.where(r_ > 0.0, r_, 1.0)
+            ca = jnp.where(r_ > 0.0, m10 / rsafe, 1.0)
+            sa = jnp.where(r_ > 0.0, m01 / rsafe, 0.0)
+            rx = px2 * ca - py2 * sa                         # (1, 512)
+            ry2 = px2 * sa + py2 * ca
+            ix = jnp.clip(jnp.round(rx).astype(jnp.int32) + PATCH_R,
+                          0, 2 * PATCH_R)
+            iy = jnp.clip(jnp.round(ry2).astype(jnp.int32) + PATCH_R,
+                          0, 2 * PATCH_R)
+            voh = (rows40 == iy + ryc).astype(jnp.float32)   # (WIN, 512)
+            uoh = (rows32 == ix).astype(jnp.float32)         # (_PP, 512)
+            xw = jax.lax.slice(xs, (0, blur_base + 8 * j),
+                               (_PP, blur_base + 8 * j + WIN))
+            q = jnp.dot(xw, voh, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # (_PP, 512)
+            vals = jnp.sum(uoh * q, axis=0, keepdims=True)   # (1, 512)
+            if quant:
+                vals = jnp.round(vals)
+            v0 = jax.lax.slice(vals, (0, 0), (1, 256))
+            v1 = jax.lax.slice(vals, (0, 256), (1, 512))
+            bits.append((v0 < v1).astype(jnp.float32))
+    bits_ref[0] = jnp.concatenate(bits, axis=0)
+    m10_ref[0, 0] = jnp.stack(m10s)
+    m01_ref[0, 0] = jnp.stack(m01s)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "quant", "nbody", "diet"))
 def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
                             interpret: bool = False,
                             quant: bool | None = None,
-                            nbody: int = 1):
+                            nbody: int = 1,
+                            diet: bool = False):
     """Transposed extraction with IC moments AND steered BRIEF in-kernel.
 
     Same inputs as `extract_windows_t`; returns (bits, m10, m01) with
@@ -432,7 +515,9 @@ def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
     one-hot selection of orb.steered_brief_t. Reference behavior:
     cv2 ORB computeOrbDescriptors (src/core/pose_estimator.py:84-108).
     `nbody`: bands per grid step (1, 2 or 4 — one VMEM transpose serves
-    nbody bands; bit-identical for any value, see _t_extract_slots)."""
+    nbody bands; bit-identical for any value, see _t_extract_slots).
+    `diet`: route through _extract_t_brief_kernel_v4 (bit-identical slot
+    diet — RPE_EXTRACT_T_BRIEF_V4 at the atlas call site)."""
     import os
 
     from .orb import _ic_angle_masks, brief_pattern
@@ -464,8 +549,9 @@ def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
             lambda b, q=q: (jnp.minimum(b * nbody + q, nb - 1), 0),
             memory_space=pltpu.VMEM)
 
+    kfn = _extract_t_brief_kernel_v4 if diet else _extract_t_brief_kernel
     bits, m10, m01 = pl.pallas_call(
-        functools.partial(_extract_t_brief_kernel, quant, nbody),
+        functools.partial(kfn, quant, nbody),
         out_shape=(
             jax.ShapeDtypeStruct((g, nbody * CAP, 256), jnp.float32),
             jax.ShapeDtypeStruct((g, 1, nbody * CAP), jnp.float32),

@@ -463,6 +463,35 @@ def test_extract_t_brief_kernel_bit_identical():
     np.testing.assert_array_equal(np.asarray(bits_q), ref_q)
 
 
+@pytest.mark.parametrize("nbody", [1, 4])
+@pytest.mark.parametrize("quant", [False, True])
+def test_extract_t_brief_diet_bit_identical(nbody, quant):
+    """_extract_t_brief_kernel_v4 (slot diet: no blur extraction, ry
+    folded into the sampling one-hot, both BRIEF points in one K=40 dot)
+    vs the v3 kernel: bits and moments bit-identical — the diet only
+    restructures exact one-hot selections."""
+    from rpe_tpu.ops.atlas import BAND, CAP
+    from rpe_tpu.ops.extract_pallas import extract_windows_t_brief
+
+    rng = np.random.default_rng(31 + nbody)
+    nb, wp, patch = 13, 256, 31
+    ha = nb * BAND
+    atlas = rng.uniform(0, 255, (ha, wp)).astype(np.float32)
+    blurred = rng.uniform(0, 255, (ha, wp)).astype(np.float32)
+    tbl_x0 = rng.integers(0, wp - patch + 1, (nb, CAP)).astype(np.int32)
+    tbl_x0[0, 0] = wp - patch
+    rel_y = rng.integers(0, BAND, (nb, CAP)).astype(np.int32)
+    args = (jnp.asarray(atlas), jnp.asarray(blurred),
+            jnp.asarray(tbl_x0), jnp.asarray(rel_y))
+
+    base = extract_windows_t_brief(*args, interpret=True, nbody=nbody,
+                                   quant=quant)
+    out = extract_windows_t_brief(*args, interpret=True, nbody=nbody,
+                                  quant=quant, diet=True)
+    for a, b in zip(base, out):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.parametrize("nbody", [2, 4])
 def test_extract_t_nbody_bit_identical(nbody):
     """nbody > 1 (one VMEM transpose serving nbody bands,

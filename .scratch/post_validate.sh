@@ -22,6 +22,26 @@ gate_from_marker "^MOMENTS PASS" RPE_EXTRACT_MOMENTS
 gate_from_marker "^EXTRACT_T3 PASS" RPE_EXTRACT_T
 gate_from_marker "^MATCH PASS" RPE_PALLAS_MATCH
 gate_from_marker "^T_BRIEF3 CSV-AB PASS" RPE_EXTRACT_T_BRIEF
+# multi-band extraction (library default nbody=4, validated 08-19):
+# protective direction — force the single-band fallback unless NB4's own
+# PASS marker is on record
+if grep -q "^T_BRIEF3_NB4 PASS" "$LOG" 2>/dev/null; then
+  export RPE_EXTRACT_T_NBODY=4
+elif grep -q "^T_BRIEF3_NB2 PASS" "$LOG" 2>/dev/null; then
+  export RPE_EXTRACT_T_NBODY=2
+else
+  export RPE_EXTRACT_T_NBODY=1
+fi
+# v4 slot-diet brief kernel (default-off, bit-identical): adopt on PASS
+if grep -qE "^T_BRIEF4(_NB4)? PASS" "$LOG" 2>/dev/null; then
+  export RPE_EXTRACT_T_BRIEF_V4=1
+else
+  export RPE_EXTRACT_T_BRIEF_V4=0
+fi
+# device-resident VP voting: REJECTED for default (round 4 measured: gate
+# max-statistics mismatch + 3.4x slower through the tunnel) — only ever
+# enabled by its own hardware PASS
+gate_from_marker "^VP_DEVICE PASS" RPE_VP_DEVICE
 env | grep RPE_
 
 timeout 5400 python .scratch/tpu_stage_probe.py > /tmp/stage_r3.log 2>&1

@@ -49,7 +49,9 @@ passed = {}
 # earlier markers survive — bench.py/post_validate.sh grep that one file.
 ONLY = os.environ.get("RPE_VALIDATE_ONLY")
 ONLY = {s.strip() for s in ONLY.split(",") if s.strip()} if ONLY else None
-if ONLY and ONLY & {"EXTRACT", "MOMENTS", "EXTRACT_T3", "T_BRIEF3"}:
+if ONLY and ONLY & {"EXTRACT", "MOMENTS", "EXTRACT_T3", "T_BRIEF3",
+                    "T_BRIEF3_NB2", "T_BRIEF3_NB4", "T_BRIEF4",
+                    "T_BRIEF4_NB4"}:
     ONLY.add("DETECT_BASE")  # extract variants parity-check against it
 
 
@@ -267,6 +269,32 @@ _variant_section("EXTRACT_T3", {"RPE_EXTRACT_T": "1"},
 _variant_section("T_BRIEF3", {"RPE_EXTRACT_T": "1",
                               "RPE_EXTRACT_T_BRIEF": "1"},
                  kernel_fn="extract_windows_t_brief")
+# nbody: multi-band transposed extraction (one VMEM transpose serves
+# nbody bands — extract_pallas._t_extract_slots v2.1). Bit-identical by
+# construction (CPU interpret tests at 2/4); hardware sections prove the
+# Mosaic lowering agrees AND record the ms/image so bench.py can adopt
+# the fastest PASS-marked value. Cleanup sets the env to "0", which
+# ops/fast.extract_nbody maps back to the default 1.
+_variant_section("T_BRIEF3_NB2", {"RPE_EXTRACT_T": "1",
+                                  "RPE_EXTRACT_T_BRIEF": "1",
+                                  "RPE_EXTRACT_T_NBODY": "2"},
+                 kernel_fn="extract_windows_t_brief")
+_variant_section("T_BRIEF3_NB4", {"RPE_EXTRACT_T": "1",
+                                  "RPE_EXTRACT_T_BRIEF": "1",
+                                  "RPE_EXTRACT_T_NBODY": "4"},
+                 kernel_fn="extract_windows_t_brief")
+# v4 slot diet (no blur extraction, ry folded into the sampling one-hot,
+# one fused K=40 dot per slot) — bit-identical by construction (CPU
+# interpret tests), hardware section proves the Mosaic lowering + ms
+_variant_section("T_BRIEF4", {"RPE_EXTRACT_T": "1",
+                              "RPE_EXTRACT_T_BRIEF": "1",
+                              "RPE_EXTRACT_T_BRIEF_V4": "1"},
+                 kernel_fn="extract_windows_t_brief")
+_variant_section("T_BRIEF4_NB4", {"RPE_EXTRACT_T": "1",
+                                  "RPE_EXTRACT_T_BRIEF": "1",
+                                  "RPE_EXTRACT_T_BRIEF_V4": "1",
+                                  "RPE_EXTRACT_T_NBODY": "4"},
+                 kernel_fn="extract_windows_t_brief")
 
 
 @section("T_BRIEF3 CSV-AB")
@@ -424,6 +452,90 @@ def _match():
                   flush=True)
     finally:
         os.environ.pop("RPE_PALLAS_MATCH", None)
+
+
+# ------------- (5) device-resident VP voting vs the host twin -------------
+
+
+@section("VP_DEVICE")
+def _vp_device():
+    """Gate-statistics agreement of manhattan_dirs_for_frames_device vs
+    the host twin on REAL phone frames (the dataset family where VP
+    refinement actually fires — reference pose_estimator.py:536-567),
+    plus the device path's ms/frame. PASS contract: the reliability gate
+    (ok & acc_max >= acc_min & vp2_score >= vp2_min) decides identically
+    on every tested frame, and on reliable frames the voted directions
+    agree to < 2 deg per axis (sampling-regime voting differs by design —
+    PARITY.md VP device row — but must not move the decisions)."""
+    import glob
+
+    import cv2
+
+    from rpe_tpu.config import VpConfig
+    from rpe_tpu.geometry.vp_refine import (
+        manhattan_dirs_for_frames,
+        manhattan_dirs_for_frames_device,
+    )
+
+    if SMOKE:
+        F_vp, hw = 2, (120, 160)
+        frames = np.stack([
+            (rng.uniform(0, 255, hw) * 0).astype(np.float32) + 30
+            for _ in range(F_vp)])
+        for f in range(F_vp):
+            cv2.line(frames[f], (10, 10), (150, 60), 225, 3)
+        Kvp = np.array([[200.0, 0, 80], [0, 200.0, 60], [0, 0, 1]],
+                       np.float32)
+    else:
+        paths = sorted(glob.glob(
+            "/root/reference/evaluation-runs/phone-data/data/images/"
+            "*.png"))[:8]
+        frames = np.stack([
+            cv2.imread(p, cv2.IMREAD_GRAYSCALE).astype(np.float32)
+            for p in paths])
+        Kvp = np.load(
+            "/root/reference/evaluation-runs/phone-data/data/"
+            "calibration_scaled.npz")["K"].astype(np.float32)
+    cfg = VpConfig(enabled=True)
+
+    t0 = time.perf_counter()
+    host = manhattan_dirs_for_frames(frames, Kvp, cfg)
+    t_host = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dev = manhattan_dirs_for_frames_device(frames, Kvp, cfg)
+    t_comp = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dev = manhattan_dirs_for_frames_device(frames, Kvp, cfg)
+    t_dev = time.perf_counter() - t0
+    nfr = frames.shape[0]
+    print(f"  host {1000*t_host/nfr:.1f} ms/frame, device "
+          f"{1000*t_dev/nfr:.1f} ms/frame (compile+run "
+          f"{t_comp:.0f}s)", flush=True)
+
+    def reliable(entry):
+        _, ok, dbg = entry
+        return (ok and dbg.get("acc_max", 0.0) >= cfg.acc_min
+                and dbg.get("vp2_score", 0.0) >= cfg.vp2_min)
+
+    n_rel = 0
+    for f in range(nfr):
+        rh, rd = reliable(host[f]), reliable(dev[f])
+        print(f"  frame {f}: host ok={host[f][1]} "
+              f"acc={host[f][2].get('acc_max', 0):.3g} "
+              f"vp2={host[f][2].get('vp2_score', 0):.3g} | device "
+              f"ok={dev[f][1]} acc={dev[f][2]['acc_max']:.3g} "
+              f"vp2={dev[f][2]['vp2_score']:.3g}", flush=True)
+        assert rh == rd, f"frame {f}: gate decision differs"
+        if rh and rd:
+            n_rel += 1
+            Dh, Dd = host[f][0], dev[f][0]
+            for ax in range(3):
+                best = max(abs(float(Dh[:, ax] @ Dd[:, j]))
+                           for j in range(3))
+                ang = np.degrees(np.arccos(min(1.0, best)))
+                assert ang < 2.0, f"frame {f} axis {ax}: {ang:.2f} deg"
+    print(f"  gate decisions agree on {nfr}/{nfr} frames "
+          f"({n_rel} reliable)", flush=True)
 
 
 CORE = ("5PT", "EXTRACT", "EXTRACT_T3", "MATCH")

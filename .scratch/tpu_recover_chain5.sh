@@ -30,8 +30,8 @@ for i in $(seq 1 96); do
     bash .scratch/post_validate.sh > /tmp/post_validate.log 2>&1
     echo "$(date -u +%H:%M:%S) post_validate done" >> /tmp/tpu_probe.log
     rm -f "$LOCK"   # bench is the chain's last TPU user; let it probe
-    timeout 7200 python bench.py > /tmp/bench_r3_auto.json 2>/tmp/bench_r3_auto.err
-    echo "$(date -u +%H:%M:%S) bench rc=$? -> /tmp/bench_r3_auto.json" >> /tmp/tpu_probe.log
+    timeout 7200 python bench.py > /tmp/bench_auto.json 2>/tmp/bench_auto.err
+    echo "$(date -u +%H:%M:%S) bench rc=$? -> /tmp/bench_auto.json" >> /tmp/tpu_probe.log
     exit 0
   fi
   echo "$(date -u +%H:%M:%S) no answer" >> /tmp/tpu_probe.log

@@ -451,7 +451,8 @@ def _match():
                   f"{1000*best/BM:.3f} ms/pair (xla budget 0.66)",
                   flush=True)
     finally:
-        os.environ.pop("RPE_PALLAS_MATCH", None)
+        # explicit "0", not pop: unset means default-ON under kernel_gate
+        os.environ["RPE_PALLAS_MATCH"] = "0"
 
 
 # ------------- (5) device-resident VP voting vs the host twin -------------

@@ -246,7 +246,7 @@ def _wait_for_backend() -> tuple[bool, str]:
         time.sleep(min(300.0, left))
 
 
-_AUTO_BENCH = "/tmp/bench_r3_auto.json"
+_AUTO_BENCH = "/tmp/bench_auto.json"
 
 
 def _cached_auto_result():

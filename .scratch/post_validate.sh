@@ -32,11 +32,15 @@ elif grep -q "^T_BRIEF3_NB2 PASS" "$LOG" 2>/dev/null; then
 else
   export RPE_EXTRACT_T_NBODY=1
 fi
-# v4 slot-diet brief kernel (default-off, bit-identical): adopt on PASS
-if grep -qE "^T_BRIEF4(_NB4)? PASS" "$LOG" 2>/dev/null; then
-  export RPE_EXTRACT_T_BRIEF_V4=1
+# v4 slot diet: REJECTED (interleaved A/B measured ~7% slower than v3,
+# docs/PERF_LOG.md round 4) — never adopt, PASS markers notwithstanding
+export RPE_EXTRACT_T_BRIEF_V4=0
+# v5 occupancy-predicated brief kernel (default-off, bit-identical):
+# adopt on PASS
+if grep -qE "^T_SPARSE(_NB4)? PASS" "$LOG" 2>/dev/null; then
+  export RPE_EXTRACT_T_SPARSE=1
 else
-  export RPE_EXTRACT_T_BRIEF_V4=0
+  export RPE_EXTRACT_T_SPARSE=0
 fi
 # device-resident VP voting: REJECTED for default (round 4 measured: gate
 # max-statistics mismatch + 3.4x slower through the tunnel) — only ever

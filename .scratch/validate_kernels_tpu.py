@@ -28,7 +28,8 @@ import jax.numpy as jnp  # noqa: E402
 # make DETECT_BASE run the Pallas path and every A/B compare Pallas
 # against itself.
 for _g in ("RPE_PALLAS_5PT", "RPE_PALLAS_EXTRACT", "RPE_PALLAS_MATCH",
-           "RPE_EXTRACT_T", "RPE_EXTRACT_T_BRIEF", "RPE_EXTRACT_MOMENTS"):
+           "RPE_EXTRACT_T", "RPE_EXTRACT_T_BRIEF", "RPE_EXTRACT_MOMENTS",
+           "RPE_EXTRACT_T_SPARSE"):
     os.environ[_g] = "0"
 
 # RPE_VALIDATE_SMOKE=1: tiny shapes on the CPU backend — exercises every
@@ -51,7 +52,7 @@ ONLY = os.environ.get("RPE_VALIDATE_ONLY")
 ONLY = {s.strip() for s in ONLY.split(",") if s.strip()} if ONLY else None
 if ONLY and ONLY & {"EXTRACT", "MOMENTS", "EXTRACT_T3", "T_BRIEF3",
                     "T_BRIEF3_NB2", "T_BRIEF3_NB4", "T_BRIEF4",
-                    "T_BRIEF4_NB4"}:
+                    "T_BRIEF4_NB4", "T_SPARSE", "T_SPARSE_NB4"}:
     ONLY.add("DETECT_BASE")  # extract variants parity-check against it
 
 
@@ -293,6 +294,19 @@ _variant_section("T_BRIEF4", {"RPE_EXTRACT_T": "1",
 _variant_section("T_BRIEF4_NB4", {"RPE_EXTRACT_T": "1",
                                   "RPE_EXTRACT_T_BRIEF": "1",
                                   "RPE_EXTRACT_T_BRIEF_V4": "1",
+                                  "RPE_EXTRACT_T_NBODY": "4"},
+                 kernel_fn="extract_windows_t_brief")
+# v5 occupancy predication: every slot body under @pl.when(rel_y >= 0);
+# parked slots (~53% of NB*CAP at bench shape) skip all VPU/MXU work.
+# Bit-identical by construction (CPU interpret tests incl. parked slots);
+# hardware sections prove the Mosaic branch lowering agrees + record ms.
+_variant_section("T_SPARSE", {"RPE_EXTRACT_T": "1",
+                              "RPE_EXTRACT_T_BRIEF": "1",
+                              "RPE_EXTRACT_T_SPARSE": "1"},
+                 kernel_fn="extract_windows_t_brief")
+_variant_section("T_SPARSE_NB4", {"RPE_EXTRACT_T": "1",
+                                  "RPE_EXTRACT_T_BRIEF": "1",
+                                  "RPE_EXTRACT_T_SPARSE": "1",
                                   "RPE_EXTRACT_T_NBODY": "4"},
                  kernel_fn="extract_windows_t_brief")
 

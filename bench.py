@@ -304,6 +304,7 @@ _FAIL_MARKER_GATES = (
     # ops/fast.extract_nbody)
     ("T_BRIEF3_NB4 FAILED", "RPE_EXTRACT_T_NBODY"),
     ("T_BRIEF3_NB2 FAILED", "RPE_EXTRACT_T_NBODY"),
+    ("T_SPARSE FAILED", "RPE_EXTRACT_T_SPARSE"),
 )
 
 
@@ -327,11 +328,14 @@ def _disable_failed_kernels() -> list:
             disabled.append(gate)
     # Opportunistic adoption of DEFAULT-OFF, bit-identical variants whose
     # hardware PASS marker is on record for this host (the nbody pattern):
-    # the v4 slot-diet brief kernel. Prefer the NB4 section's marker (the
-    # default nbody is 4); the plain T_BRIEF4 marker also qualifies.
-    if os.environ.get("RPE_EXTRACT_T_BRIEF_V4") is None and (
-            "T_BRIEF4_NB4 PASS" in log or "T_BRIEF4 PASS" in log):
-        os.environ["RPE_EXTRACT_T_BRIEF_V4"] = "1"
+    # the v5 occupancy-predicated brief kernel (parked slots skipped under
+    # @pl.when). NOT the v4 slot diet — its PASS markers are on record,
+    # but the interleaved one-process A/B measured it ~7% SLOWER than v3
+    # (.scratch/tpu_v4_ab.py, docs/PERF_LOG.md round 4), so a PASS marker
+    # alone must never re-adopt it.
+    if os.environ.get("RPE_EXTRACT_T_SPARSE") is None and (
+            "T_SPARSE_NB4 PASS" in log or "T_SPARSE PASS" in log):
+        os.environ["RPE_EXTRACT_T_SPARSE"] = "1"
     return disabled
 
 

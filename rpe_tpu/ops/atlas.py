@@ -207,9 +207,16 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
     win_blur = windows(blurred)
 
     # relative row offset of each keypoint inside its band window (needed by
-    # both extraction backends)
+    # both extraction backends). Live slots always land in 0..BAND-1
+    # (band = y0 // BAND exactly); parked slots are forced to -31, the one
+    # marker that yields ZEROS on every backend: the XLA rowoh below never
+    # matches (crely + pj <= -1), and the Pallas kernels' 8-way sel never
+    # fires. (The previous parked marker — the raw 0 - 8*band — extracted
+    # a real x0=0 patch in band 0 and SHIFTED rows in bands 1-3 on the XLA
+    # path only; all dead values, masked downstream, but the sparse kernel
+    # needs rel_y < 0 as its skip predicate, so make it uniform.)
     _band_base = (jnp.arange(nb) * BAND)[:, None]             # (NB, 1)
-    _rel_y = tbl_y0 - _band_base                              # (NB, CAP)
+    _rel_y = jnp.where(tbl_used, tbl_y0 - _band_base, -31)    # (NB, CAP)
 
     import os
 
@@ -245,7 +252,8 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
             bits, m10, m01 = extract_windows_t_brief(
                 atlas, blurred, tbl_x0, _rel_y, interpret=_interp,
                 nbody=extract_nbody(),
-                diet=kernel_gate("RPE_EXTRACT_T_BRIEF_V4"))
+                diet=kernel_gate("RPE_EXTRACT_T_BRIEF_V4"),
+                sparse=kernel_gate("RPE_EXTRACT_T_SPARSE"))
             return {
                 "patches_raw": None,
                 "patches_blur": None,

@@ -499,13 +499,105 @@ def _extract_t_brief_kernel_v4(quant, nbody, *refs):
     m01_ref[0, 0] = jnp.stack(m01s)
 
 
+def _extract_t_brief_kernel_sparse(quant, nbody, *refs):
+    # v5 "occupancy-predicated" kernel (round 4): the v3 math verbatim,
+    # but every slot body is wrapped in @pl.when(ryc >= 0) — parked slots
+    # (rel_y == -31 from atlas.banded_extract, or -1 from _pad_tables'
+    # group padding) skip ALL their VPU/MXU work instead of burning the
+    # full 16-FMA + one-hot + dot budget to accumulate provable zeros.
+    # At the bench shape only ~47% of the NB*CAP slots are live
+    # (4096 keypoints over 363 bands x CAP 24, docs/PERF_LOG.md round 4),
+    # so the serial per-slot bound — the measured extraction floor —
+    # roughly halves. Outputs for skipped slots are zeros, exactly what
+    # the v3 kernel computes for them (rel_y < 0 matches no unrolled r:
+    # zero patches -> zero moments -> zero bits); live slots run the
+    # identical op chain, so the family is bit-identical to v3.
+    #   - bits rows are written per-slot under the predicate into a
+    #     zero-initialized block (single-sublane stores: the pattern
+    #     five_point_pallas.py's bracket kernel already lowers).
+    #   - moments go through an SMEM scratch (scalar stores are legal
+    #     under @pl.when; VMEM scalar stores are not), then one vector
+    #     assembly after the loop — the same stack() the v3 kernel does.
+    np_ = 2 * (nbody + 4)
+    planes = refs[:np_]
+    x0_ref, ry_ref, mu_ref, mv_ref, patx_ref, paty_ref = refs[np_:np_ + 6]
+    bits_ref, m10_ref, m01_ref, wt_ref, m_scr = refs[np_ + 6:]
+
+    nrows = 2 * (8 * nbody + WIN - BAND)
+    w = jnp.concatenate([p[:] for p in planes], axis=0)
+    if nrows < 128:
+        w = jnp.concatenate(
+            [w, jnp.zeros((128 - nrows, w.shape[1]), w.dtype)], axis=0)
+    wtp = jnp.transpose(w)
+    wt_ref[:] = jnp.concatenate(
+        [wtp, jnp.zeros((BAND, wtp.shape[1]), wtp.dtype)], axis=0)
+    mu = mu_ref[:]
+    mv = mv_ref[:]
+    blur_base = 8 * nbody + WIN - BAND
+    rows32 = jax.lax.broadcasted_iota(jnp.int32, (_PP, 256), 0)
+
+    bits_ref[0] = jnp.zeros((nbody * CAP, 256), jnp.float32)
+    for j in range(nbody):
+        for c in range(CAP):
+            idx = j * CAP + c
+            ryc = ry_ref[0, 0, idx]
+            m_scr[0, idx] = 0.0
+            m_scr[1, idx] = 0.0
+
+            @pl.when(ryc >= 0)
+            def _slot(j=j, idx=idx, ryc=ryc):
+                x0c = x0_ref[0, 0, idx]
+                xs = wt_ref[pl.ds(x0c, _PP), :]              # (_PP, 128)
+                raw_t = jnp.zeros((_PP, _PP), jnp.float32)
+                blur_t = jnp.zeros((_PP, _PP), jnp.float32)
+                for r in range(BAND):
+                    sel = (ryc == r).astype(jnp.float32)
+                    raw_t = raw_t + sel * jax.lax.slice(
+                        xs, (0, 8 * j + r), (_PP, 8 * j + r + _PP))
+                    blur_t = blur_t + sel * jax.lax.slice(
+                        xs, (0, blur_base + 8 * j + r),
+                        (_PP, blur_base + 8 * j + r + _PP))
+                m10 = jnp.sum(raw_t * mu)
+                m01 = jnp.sum(raw_t * mv)
+                m_scr[0, idx] = m10
+                m_scr[1, idx] = m01
+                # cos/sin by normalization — identical chain to v3
+                r_ = jnp.sqrt(m10 * m10 + m01 * m01)
+                rsafe = jnp.where(r_ > 0.0, r_, 1.0)
+                ca = jnp.where(r_ > 0.0, m10 / rsafe, 1.0)
+                sa = jnp.where(r_ > 0.0, m01 / rsafe, 0.0)
+                vals = []
+                for p in range(2):
+                    px = patx_ref[p: p + 1, :]               # (1, 256)
+                    py = paty_ref[p: p + 1, :]
+                    rx = px * ca - py * sa
+                    ry_ = px * sa + py * ca
+                    ix = jnp.clip(jnp.round(rx).astype(jnp.int32) + PATCH_R,
+                                  0, 2 * PATCH_R)
+                    iy = jnp.clip(jnp.round(ry_).astype(jnp.int32) + PATCH_R,
+                                  0, 2 * PATCH_R)
+                    uoh = (rows32 == ix).astype(jnp.float32)  # (_PP, 256)
+                    voh = (rows32 == iy).astype(jnp.float32)
+                    q = jnp.dot(blur_t, voh,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+                    v = jnp.sum(uoh * q, axis=0, keepdims=True)
+                    vals.append(jnp.round(v) if quant else v)
+                bits_ref[0, idx: idx + 1, :] = (
+                    vals[0] < vals[1]).astype(jnp.float32)
+    m10_ref[0, 0] = jnp.stack([m_scr[0, i] for i in range(nbody * CAP)])
+    m01_ref[0, 0] = jnp.stack([m_scr[1, i] for i in range(nbody * CAP)])
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "quant", "nbody", "diet"))
+                   static_argnames=("interpret", "quant", "nbody", "diet",
+                                    "sparse"))
 def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
                             interpret: bool = False,
                             quant: bool | None = None,
                             nbody: int = 1,
-                            diet: bool = False):
+                            diet: bool = False,
+                            sparse: bool = False):
     """Transposed extraction with IC moments AND steered BRIEF in-kernel.
 
     Same inputs as `extract_windows_t`; returns (bits, m10, m01) with
@@ -517,7 +609,12 @@ def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
     `nbody`: bands per grid step (1, 2 or 4 — one VMEM transpose serves
     nbody bands; bit-identical for any value, see _t_extract_slots).
     `diet`: route through _extract_t_brief_kernel_v4 (bit-identical slot
-    diet — RPE_EXTRACT_T_BRIEF_V4 at the atlas call site)."""
+    diet — RPE_EXTRACT_T_BRIEF_V4 at the atlas call site; hardware-
+    rejected, ~7% slower than v3, docs/PERF_LOG.md round 4).
+    `sparse`: route through _extract_t_brief_kernel_sparse (bit-identical
+    occupancy predication — RPE_EXTRACT_T_SPARSE at the atlas call site;
+    requires parked slots to carry rel_y < 0, which
+    atlas.banded_extract guarantees)."""
     import os
 
     from .orb import _ic_angle_masks, brief_pattern
@@ -549,7 +646,15 @@ def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
             lambda b, q=q: (jnp.minimum(b * nbody + q, nb - 1), 0),
             memory_space=pltpu.VMEM)
 
-    kfn = _extract_t_brief_kernel_v4 if diet else _extract_t_brief_kernel
+    if sparse:
+        kfn = _extract_t_brief_kernel_sparse
+    elif diet:
+        kfn = _extract_t_brief_kernel_v4
+    else:
+        kfn = _extract_t_brief_kernel
+    scratch = [pltpu.VMEM((wp + BAND, 128), jnp.float32)]
+    if sparse:
+        scratch.append(pltpu.SMEM((2, nbody * CAP), jnp.float32))
     bits, m10, m01 = pl.pallas_call(
         functools.partial(kfn, quant, nbody),
         out_shape=(
@@ -584,7 +689,7 @@ def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
             pl.BlockSpec((1, 1, nbody * CAP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((wp + BAND, 128), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*([atlas] * nq + [blurred] * nq
         + [x0_g, ry_g, mu_t, mv_t, patx, paty]))

@@ -492,6 +492,48 @@ def test_extract_t_brief_diet_bit_identical(nbody, quant):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("nbody", [1, 4])
+@pytest.mark.parametrize("quant", [False, True])
+def test_extract_t_brief_sparse_bit_identical(nbody, quant):
+    """_extract_t_brief_kernel_sparse (occupancy predication: every slot
+    body under @pl.when(rel_y >= 0), parked slots skipped outright) vs
+    the v3 kernel: bits and moments bit-identical. ~half the slots here
+    are parked (rel_y = -31, the banded_extract parked marker) to
+    exercise both sides of the predicate; live slots run the identical
+    op chain, skipped slots must produce the zeros v3 computes for
+    them."""
+    from rpe_tpu.ops.atlas import BAND, CAP
+    from rpe_tpu.ops.extract_pallas import extract_windows_t_brief
+
+    rng = np.random.default_rng(41 + nbody)
+    nb, wp, patch = 13, 256, 31
+    ha = nb * BAND
+    atlas = rng.uniform(0, 255, (ha, wp)).astype(np.float32)
+    blurred = rng.uniform(0, 255, (ha, wp)).astype(np.float32)
+    tbl_x0 = rng.integers(0, wp - patch + 1, (nb, CAP)).astype(np.int32)
+    tbl_x0[0, 0] = wp - patch          # right-edge slice must stay exact
+    rel_y = rng.integers(0, BAND, (nb, CAP)).astype(np.int32)
+    parked = rng.uniform(size=(nb, CAP)) < 0.5
+    parked[0, 0] = False               # keep the edge-slice slot live
+    rel_y = np.where(parked, -31, rel_y).astype(np.int32)
+    tbl_x0 = np.where(parked, 0, tbl_x0).astype(np.int32)
+    args = (jnp.asarray(atlas), jnp.asarray(blurred),
+            jnp.asarray(tbl_x0), jnp.asarray(rel_y))
+
+    base = extract_windows_t_brief(*args, interpret=True, nbody=nbody,
+                                   quant=quant)
+    out = extract_windows_t_brief(*args, interpret=True, nbody=nbody,
+                                  quant=quant, sparse=True)
+    for a, b in zip(base, out):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # parked slots must be exact zeros on both paths (the downstream
+    # valid mask is belt-and-braces, not load-bearing, for these)
+    assert not np.asarray(base[0]).reshape(nb * CAP, 256)[
+        parked.reshape(-1)].any()
+    assert not np.asarray(out[0]).reshape(nb * CAP, 256)[
+        parked.reshape(-1)].any()
+
+
 @pytest.mark.parametrize("nbody", [2, 4])
 def test_extract_t_nbody_bit_identical(nbody):
     """nbody > 1 (one VMEM transpose serving nbody bands,

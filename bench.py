@@ -326,16 +326,12 @@ def _disable_failed_kernels() -> list:
         if marker in log and os.environ.get(gate) is None:
             os.environ[gate] = "0"
             disabled.append(gate)
-    # Opportunistic adoption of DEFAULT-OFF, bit-identical variants whose
-    # hardware PASS marker is on record for this host (the nbody pattern):
-    # the v5 occupancy-predicated brief kernel (parked slots skipped under
-    # @pl.when). NOT the v4 slot diet — its PASS markers are on record,
-    # but the interleaved one-process A/B measured it ~7% SLOWER than v3
-    # (.scratch/tpu_v4_ab.py, docs/PERF_LOG.md round 4), so a PASS marker
-    # alone must never re-adopt it.
-    if os.environ.get("RPE_EXTRACT_T_SPARSE") is None and (
-            "T_SPARSE_NB4 PASS" in log or "T_SPARSE PASS" in log):
-        os.environ["RPE_EXTRACT_T_SPARSE"] = "1"
+    # No opportunistic adoption of DEFAULT-OFF variants on PASS markers:
+    # both the v4 slot diet AND the v5 occupancy-predicated sparse kernel
+    # passed bit-parity but measured SLOWER than v3 in interleaved
+    # one-process A/Bs (v4 ~7%, v5 ~2-3%; .scratch/tpu_v4_ab.py,
+    # .scratch/tpu_sparse_ab.py, docs/PERF_LOG.md round 4). A PASS marker
+    # proves correctness, never speed — adoption requires a recorded A/B.
     return disabled
 
 

@@ -10,12 +10,16 @@ bands: small atlas) drops 7.8% at the current CAP 24 while KITTI has
 max_kpts / NB, not be a constant.
 
 Run: python .scratch/cap_occupancy_lab.py <dataset>   (sim|salah|phone|kitti)
+  [nfeatures nlevels max_kpts [bench]]  — optional profile override; the
+  literal "bench" resizes frames to the 1241x376 KITTI bench shape.
 """
 import functools
 import glob
 import sys
 
 import numpy as np
+
+sys.path.insert(0, "/root/repo")
 
 import jax
 
@@ -32,6 +36,10 @@ from rpe_tpu.ops.pyramid import level_shapes  # noqa: E402
 
 R = 15  # PATCH // 2
 NLEVELS, SCALE, NFEAT, MAXK = 12, 1.1, 4000, 4096
+BENCH_RESIZE = False
+if len(sys.argv) >= 5:
+    NFEAT, NLEVELS, MAXK = (int(a) for a in sys.argv[2:5])
+    BENCH_RESIZE = len(sys.argv) > 5 and sys.argv[5] == "bench"
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -80,7 +88,7 @@ DATASETS = {
         "/root/reference/evaluation-runs/single-pair/images/*.png"))[:4],
 }
 
-CAPS = (12, 16, 20, 24, 28, 32, 40, 48)
+CAPS = (8, 12, 16, 20, 24, 28, 32, 40, 48)
 
 name = sys.argv[1]
 files = DATASETS[name]
@@ -88,7 +96,14 @@ drops = {c: [] for c in CAPS}
 maxcounts = []
 nbs = set()
 for f in files:
-    img = jnp.asarray(load_image(f))
+    img_np = load_image(f)
+    if BENCH_RESIZE:
+        from PIL import Image
+
+        img_np = np.asarray(
+            Image.fromarray(img_np.astype(np.uint8)).resize(
+                (1241, 376), Image.BILINEAR), np.float32)
+    img = jnp.asarray(img_np)
     h, w = img.shape
     xy, valid, ha = keypoints(img, h, w)
     xy, valid, ha = np.asarray(xy), np.asarray(valid), int(ha)

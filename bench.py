@@ -85,6 +85,13 @@ def bench_tpu(img1, img2, K, cfg=None):
 
         cfg = EstimatorConfig()
     batch = _batch_from_sweep()
+    if cfg is not None and cfg.feature_method.upper() == "SIFT":
+        # The ORB chunk-sweep batch (up to 128) crashed the TPU worker at
+        # SIFT shapes (round-4 session 2); the SIFT program is detect-bound
+        # (~711 ms/frame measured, .scratch/tpu_sift_probe.py) so batch
+        # amortization is negligible — pin to the probe's measured-PASS
+        # config (EST8 PASS 703 ms/pair, 08-19).
+        batch = min(batch, 8)
     # Sequence workload (what every dataset runner executes): BATCH
     # consecutive pairs over BATCH+1 alternating frames. Each unique frame
     # is detected once and shared by its two adjacent pairs — the reference

@@ -20,6 +20,13 @@ class OrbConfig:
     scale_factor: float = 1.1
     fast_threshold: float = 15.0
     max_kpts: int = 4096  # static keypoint slots (>= nfeatures)
+    # TPU-only static knob: extraction slots per 8-row atlas band
+    # (ops/atlas.banded_extract `cap`; None = ops/atlas.CAP = 24).
+    # Extraction cost ~ NB*cap (the measured per-slot floor,
+    # docs/PERF_LOG.md round 4); too small drops clustered keypoints
+    # (.scratch/cap_occupancy_lab.py has measured drop/cap tables).
+    # Must be a multiple of 4.
+    extract_cap: int | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,14 +123,22 @@ class EstimatorConfig:
 # pipeline/estimator.py match_features).
 _PROFILES = {
     "parity": {},
+    # extract_cap sizing (round 4, .scratch/cap_occupancy_lab.py on real
+    # frames): extraction costs ~NB*cap slots x 260 ns, and the measured
+    # per-band keypoint drop sets the floor — orb2000 still clusters
+    # (sim drops 4.9% at cap 24) so it keeps the default; orb1000 at
+    # cap 16 drops 3.0% (sim) / 8.1% (bench shape) for a 33% slot cut;
+    # orb512 at cap 12 drops ~4% for a 50% slot cut (max-speed tier).
     "orb2000": {"orb": {"nfeatures": 2000, "nlevels": 8, "max_kpts": 2048}},
-    "orb1000": {"orb": {"nfeatures": 1000, "nlevels": 6, "max_kpts": 1024}},
+    "orb1000": {"orb": {"nfeatures": 1000, "nlevels": 6, "max_kpts": 1024,
+                        "extract_cap": 16}},
     # max-speed tier: also cuts the constant-cost stages (the 5pt RANSAC
     # batch and the match cap) that dominate once detection shrinks —
     # 128 minimal samples ~ OpenCV's adaptive iteration count at a ~55%
     # inlier ratio (prob 0.999), so low-texture pairs lose oversampling
     # margin; measured accuracy per dataset in docs/API.md "Profiles".
-    "orb512": {"orb": {"nfeatures": 512, "nlevels": 4, "max_kpts": 512},
+    "orb512": {"orb": {"nfeatures": 512, "nlevels": 4, "max_kpts": 512,
+                       "extract_cap": 12},
                "matcher": {"max_matches": 256},
                "ransac": {"num_hypotheses": 128}},
 }

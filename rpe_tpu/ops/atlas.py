@@ -147,15 +147,22 @@ CAP = 24        # max keypoints per band (overflow -> dropped + invalidated)
 WIN = 40        # window rows per band (>= BAND + patch 31)
 
 
-def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
+def banded_extract(atlas, blurred, xy, valid, patch: int = 31,
+                   cap: int | None = None):
     """Extract `patch` x `patch` windows around xy from both atlases.
 
     atlas/blurred: (HA, WP) with HA % BAND == 0. xy: (K, 2) float (x, y)
     atlas coords (integer-valued); valid: (K,) bool.
 
     Returns (patches_raw, patches_blur, valid_out): (K, patch, patch) x2 —
-    keypoints beyond a band's CAP slots are zeroed and invalidated (the
-    band population after per-level quotas averages ~14, p99 << CAP).
+    keypoints beyond a band's `cap` slots are zeroed and invalidated.
+    `cap` (default CAP=24) sets the slots per 8-row band: the extraction
+    stage costs ~NB*cap slots of VPU work (~260 ns each on v5e,
+    docs/PERF_LOG.md round 4), while too small a cap drops clustered
+    keypoints — measured drop rates per dataset/cap are in
+    .scratch/cap_occupancy_lab.py output (e.g. 480x640 frames drop ~8%
+    at cap 24 but ~3.5% at 32; 1080p frames drop ~0% down to cap 20).
+    Must be a multiple of 4 (Pallas lane alignment: cap*32 % 128).
 
     Method: keypoints are bucketed by y-band (sorted once); band windows
     are *reshape views* of the atlas (no gather); per band-chunk the row and
@@ -166,6 +173,9 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
     nb = ha // BAND
     k = xy.shape[0]
     r = patch // 2
+    cap = CAP if cap is None else int(cap)
+    assert cap % 4 == 0 and cap > 0, (
+        f"cap must be a positive multiple of 4, got {cap}")
 
     x0 = jnp.clip(xy[:, 0].astype(jnp.int32) - r, 0, wp - patch)
     y0 = jnp.clip(xy[:, 1].astype(jnp.int32) - r, 0, ha - patch)
@@ -178,20 +188,20 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
     # position-in-run via cumsum trick: index - first-occurrence(band)
     first_idx = jnp.searchsorted(band_sorted, jnp.arange(nb))  # (NB,)
     pos = jnp.arange(k) - jnp.take(first_idx, band_sorted)
-    keep = pos < CAP
-    slot = jnp.clip(pos, 0, CAP - 1)
+    keep = pos < cap
+    slot = jnp.clip(pos, 0, cap - 1)
 
     # scatter sorted keypoints into (NB, CAP) tables
-    flat = band_sorted * CAP + slot
-    tbl_x0 = jnp.zeros((nb * CAP,), jnp.int32).at[flat].set(
+    flat = band_sorted * cap + slot
+    tbl_x0 = jnp.zeros((nb * cap,), jnp.int32).at[flat].set(
         jnp.take(x0, order), mode="drop")
-    tbl_y0 = jnp.zeros((nb * CAP,), jnp.int32).at[flat].set(
+    tbl_y0 = jnp.zeros((nb * cap,), jnp.int32).at[flat].set(
         jnp.take(y0, order), mode="drop")
-    tbl_used = jnp.zeros((nb * CAP,), jnp.bool_).at[flat].set(
+    tbl_used = jnp.zeros((nb * cap,), jnp.bool_).at[flat].set(
         keep & jnp.take(valid, order), mode="drop")
-    tbl_x0 = tbl_x0.reshape(nb, CAP)
-    tbl_y0 = tbl_y0.reshape(nb, CAP)
-    tbl_used = tbl_used.reshape(nb, CAP)
+    tbl_x0 = tbl_x0.reshape(nb, cap)
+    tbl_y0 = tbl_y0.reshape(nb, cap)
+    tbl_used = tbl_used.reshape(nb, cap)
 
     # band windows as pure reshapes: window[b, q*BAND + s, :] =
     # atlas[(b + q) * BAND + s, :], q < WIN // BAND
@@ -257,9 +267,9 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
             return {
                 "patches_raw": None,
                 "patches_blur": None,
-                "bits": bits.reshape(nb * CAP, 256),
-                "m10": m10.reshape(nb * CAP),
-                "m01": m01.reshape(nb * CAP),
+                "bits": bits.reshape(nb * cap, 256),
+                "m10": m10.reshape(nb * cap),
+                "m01": m01.reshape(nb * cap),
                 "slot_of_sorted": slot_of_sorted,
                 "order": order,
                 "valid_sorted": valid_sorted,
@@ -277,13 +287,13 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
                 atlas, blurred, tbl_x0, _rel_y, interpret=_interp,
                 nbody=extract_nbody())
             blur_t = blurp_t[:, :, :patch, :patch].reshape(
-                nb * CAP, patch, patch)
+                nb * cap, patch, patch)
             return {
                 "patches_raw": None,
                 "patches_blur": None,
                 "patches_blur_t": blur_t,
-                "m10": m10.reshape(nb * CAP),
-                "m01": m01.reshape(nb * CAP),
+                "m10": m10.reshape(nb * cap),
+                "m01": m01.reshape(nb * cap),
                 "slot_of_sorted": slot_of_sorted,
                 "order": order,
                 "valid_sorted": valid_sorted,
@@ -297,12 +307,12 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
             blurp, m10, m01 = extract_windows_moments(
                 win_raw, win_blur, tbl_x0, _rel_y, interpret=_interp)
             blur = blurp[:, :, :patch, :patch].reshape(
-                nb * CAP, patch, patch)
+                nb * cap, patch, patch)
             return {
                 "patches_raw": None,
                 "patches_blur": blur,
-                "m10": m10.reshape(nb * CAP),
-                "m01": m01.reshape(nb * CAP),
+                "m10": m10.reshape(nb * cap),
+                "m01": m01.reshape(nb * cap),
                 "slot_of_sorted": slot_of_sorted,
                 "order": order,
                 "valid_sorted": valid_sorted,
@@ -311,8 +321,8 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
 
         rawp, blurp = extract_windows(win_raw, win_blur, tbl_x0, _rel_y,
                                       interpret=_interp)
-        raw = rawp[:, :, :patch, :patch].reshape(nb * CAP, patch, patch)
-        blur = blurp[:, :, :patch, :patch].reshape(nb * CAP, patch, patch)
+        raw = rawp[:, :, :patch, :patch].reshape(nb * cap, patch, patch)
+        blur = blurp[:, :, :patch, :patch].reshape(nb * cap, patch, patch)
         return {
             "patches_raw": raw,
             "patches_blur": blur,
@@ -360,7 +370,7 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
         t = jnp.einsum("bvx,bxm->bvm", wcat, col,
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
-        t = t.reshape(wr.shape[0], 2, WIN, CAP, patch)
+        t = t.reshape(wr.shape[0], 2, WIN, cap, patch)
 
         def sel_rows(tw):
             # rows: (NBC, CAP, patch_i, patch_j)
@@ -379,13 +389,13 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31):
 
     wr_c = padb(win_raw).reshape(-1, nbc, WIN, wp)
     wb_c = padb(win_blur).reshape(-1, nbc, WIN, wp)
-    x0_c = padb(tbl_x0).reshape(-1, nbc, CAP)
-    ry_c = padb(rel_y).reshape(-1, nbc, CAP)
+    x0_c = padb(tbl_x0).reshape(-1, nbc, cap)
+    ry_c = padb(rel_y).reshape(-1, nbc, cap)
 
     raw_c, blur_c = jax.lax.map(
         lambda t: per_band_chunk(*t), (wr_c, wb_c, x0_c, ry_c))
-    raw = raw_c.reshape(nb_pad * CAP, patch, patch)[: nb * CAP]
-    blur = blur_c.reshape(nb_pad * CAP, patch, patch)[: nb * CAP]
+    raw = raw_c.reshape(nb_pad * cap, patch, patch)[: nb * cap]
+    blur = blur_c.reshape(nb_pad * cap, patch, patch)[: nb * cap]
 
     # Patches live in band-slot space (S = NB*CAP); descriptor math runs
     # there (keypoint order is irrelevant downstream). `slot_of_sorted`

@@ -27,7 +27,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .atlas import BAND, CAP, WIN
+from .atlas import BAND, WIN
 
 _PP = 32          # padded patch edge (31 -> 32 lanes per keypoint slot)
 PATCH_R = 15      # orientation/descriptor patch radius (== orb.PATCH_R)
@@ -44,9 +44,10 @@ def _extract_kernel(win_ref, x0v_ref, ry_ref, raw_ref, blur_ref):
     #          slot; 3-D for the same trailing-dims rule (it applies to
     #          SMEM blocks with non-trivial windows too)
     wp = win_ref.shape[2]
+    cap = ry_ref.shape[2]            # slots per band (static block shape)
     w = win_ref[0]                                       # (2*WIN, WP)
     x0v = x0v_ref[0, 0]                                  # (CAP*_PP,)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (wp, CAP * _PP), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (wp, cap * _PP), 0)
     col = (rows == x0v[None, :]).astype(jnp.float32)     # (WP, CAP*_PP)
     # HIGHEST: Mosaic's default f32 dot is single-pass bf16 (hardware
     # bit-agreement 0.98327 on 08-18 — preferred_element_type only sets
@@ -55,7 +56,7 @@ def _extract_kernel(win_ref, x0v_ref, ry_ref, raw_ref, blur_ref):
     t = jnp.dot(w, col, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)     # (2W, CAP*_PP)
     raws, blurs = [], []
-    for c in range(CAP):
+    for c in range(cap):
         # row select by 8-way masked accumulate over STATIC slices: Mosaic
         # rejects dynamic sublane starts on partial-lane (32-lane) vectors
         # ("cannot statically prove index is a multiple of 8", measured
@@ -85,9 +86,10 @@ def _extract_moments_kernel(win_ref, x0v_ref, mu_ref, mv_ref, ry_ref,
     # raw patches to HBM: the raw side's only consumer is the orientation,
     # so this saves a 66 MB write + 66 MB read per image at bench shape.
     wp = win_ref.shape[2]
+    cap = ry_ref.shape[2]            # slots per band (static block shape)
     w = win_ref[0]                                       # (2*WIN, WP)
     x0v = x0v_ref[0, 0]                                  # (CAP*_PP,)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (wp, CAP * _PP), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (wp, cap * _PP), 0)
     col = (rows == x0v[None, :]).astype(jnp.float32)     # (WP, CAP*_PP)
     # HIGHEST: Mosaic's default f32 dot is single-pass bf16 (hardware
     # bit-agreement 0.98327 on 08-18 — preferred_element_type only sets
@@ -98,7 +100,7 @@ def _extract_moments_kernel(win_ref, x0v_ref, mu_ref, mv_ref, ry_ref,
     mu = mu_ref[:]                                       # (_PP, _PP)
     mv = mv_ref[:]
     blurs, m10s, m01s = [], [], []
-    for c in range(CAP):
+    for c in range(cap):
         # 8-way masked accumulate over static slices (see _extract_kernel)
         ry = ry_ref[0, 0, c]
         raw = jnp.zeros((_PP, _PP), jnp.float32)
@@ -131,10 +133,11 @@ def extract_windows_moments(win_raw, win_blur, tbl_x0, rel_y,
     from .orb import _ic_angle_masks
 
     nb, _, wp = win_raw.shape
+    cap = tbl_x0.shape[1]            # slots per band (static)
     j = jnp.arange(_PP, dtype=jnp.int32)
     x0v = tbl_x0[:, :, None] + j[None, None, :]
     x0v = jnp.where(j[None, None, :] < 31, x0v, -1_000_000)
-    x0v = x0v.reshape(nb, 1, CAP * _PP)
+    x0v = x0v.reshape(nb, 1, cap * _PP)
     wcat = jnp.concatenate([win_raw, win_blur], axis=1)      # (NB, 2W, WP)
 
     mask_np, us_np, vs_np = _ic_angle_masks()
@@ -144,35 +147,35 @@ def extract_windows_moments(win_raw, win_blur, tbl_x0, rel_y,
     blur, m10, m01 = pl.pallas_call(
         _extract_moments_kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((nb, _PP, CAP * _PP), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 1, CAP), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 1, CAP), jnp.float32),
+            jax.ShapeDtypeStruct((nb, _PP, cap * _PP), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, cap), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, cap), jnp.float32),
         ),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, 2 * WIN, wp), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, CAP * _PP), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 1, cap * _PP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_PP, _PP), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_PP, _PP), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, CAP), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 1, cap), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, _PP, CAP * _PP), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, _PP, cap * _PP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, CAP), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 1, cap), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, CAP), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 1, cap), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(wcat, x0v, mu, mv, rel_y.astype(jnp.int32).reshape(nb, 1, CAP))
-    blur = blur.reshape(nb, _PP, CAP, _PP).transpose(0, 2, 1, 3)
-    return blur, m10.reshape(nb, CAP), m01.reshape(nb, CAP)
+    )(wcat, x0v, mu, mv, rel_y.astype(jnp.int32).reshape(nb, 1, cap))
+    blur = blur.reshape(nb, _PP, cap, _PP).transpose(0, 2, 1, 3)
+    return blur, m10.reshape(nb, cap), m01.reshape(nb, cap)
 
 
 def _t_extract_slots(planes, x0_ref, ry_ref, mu_ref, mv_ref, wt_ref,
@@ -211,6 +214,7 @@ def _t_extract_slots(planes, x0_ref, ry_ref, mu_ref, mv_ref, wt_ref,
     major) of (_PP, _PP) transposed blurred patches and raw-patch IC
     moment scalars.
     """
+    cap = x0_ref.shape[2] // nbody   # slots per band (static block shape)
     nrows = 2 * (8 * nbody + WIN - BAND)         # raw + blur plane rows
     w = jnp.concatenate([p[:] for p in planes], axis=0)
     # pad rows to 128 before transposing: Mosaic lowers f32 transposes
@@ -231,8 +235,8 @@ def _t_extract_slots(planes, x0_ref, ry_ref, mu_ref, mv_ref, wt_ref,
     blur_base = 8 * nbody + WIN - BAND           # first blur-plane lane
     blurs, m10s, m01s = [], [], []
     for j in range(nbody):
-        for c in range(CAP):
-            idx = j * CAP + c
+        for c in range(cap):
+            idx = j * cap + c
             x0c = x0_ref[0, 0, idx]
             ryc = ry_ref[0, 0, idx]
             xs = wt_ref[pl.ds(x0c, _PP), :]                  # (_PP, 128)
@@ -275,10 +279,11 @@ def _pad_tables(tbl_x0, rel_y, nb, nbody):
     (g, 1, nbody*CAP) SMEM blocks."""
     g = -(-nb // nbody)
     pad = g * nbody - nb
+    cap = tbl_x0.shape[1]
     x0 = jnp.pad(tbl_x0.astype(jnp.int32), ((0, pad), (0, 0)))
     ry = jnp.pad(rel_y.astype(jnp.int32), ((0, pad), (0, 0)),
                  constant_values=-1)
-    return (g, x0.reshape(g, 1, nbody * CAP), ry.reshape(g, 1, nbody * CAP))
+    return (g, x0.reshape(g, 1, nbody * cap), ry.reshape(g, 1, nbody * cap))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "nbody"))
@@ -302,6 +307,7 @@ def extract_windows_t(atlas, blurred, tbl_x0, rel_y, interpret: bool = False,
 
     ha, wp = atlas.shape
     nb = ha // BAND
+    cap = tbl_x0.shape[1]            # slots per band (static)
     nq = nbody + 4                               # blocks per plane
 
     mask_np, us_np, vs_np = _ic_angle_masks()
@@ -318,9 +324,9 @@ def extract_windows_t(atlas, blurred, tbl_x0, rel_y, interpret: bool = False,
     blur, m10, m01 = pl.pallas_call(
         functools.partial(_extract_t_kernel, nbody),
         out_shape=(
-            jax.ShapeDtypeStruct((g, _PP, nbody * CAP * _PP), jnp.float32),
-            jax.ShapeDtypeStruct((g, 1, nbody * CAP), jnp.float32),
-            jax.ShapeDtypeStruct((g, 1, nbody * CAP), jnp.float32),
+            jax.ShapeDtypeStruct((g, _PP, nbody * cap * _PP), jnp.float32),
+            jax.ShapeDtypeStruct((g, 1, nbody * cap), jnp.float32),
+            jax.ShapeDtypeStruct((g, 1, nbody * cap), jnp.float32),
         ),
         grid=(g,),
         in_specs=(
@@ -330,9 +336,9 @@ def extract_windows_t(atlas, blurred, tbl_x0, rel_y, interpret: bool = False,
                 # scalar tables travel (G, 1, nbody*CAP): Mosaic's
                 # trailing-dims block rule applies to SMEM non-trivial
                 # windows too
-                pl.BlockSpec((1, 1, nbody * CAP), lambda b: (b, 0, 0),
+                pl.BlockSpec((1, 1, nbody * cap), lambda b: (b, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, nbody * CAP), lambda b: (b, 0, 0),
+                pl.BlockSpec((1, 1, nbody * cap), lambda b: (b, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((_PP, _PP), lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -341,20 +347,20 @@ def extract_windows_t(atlas, blurred, tbl_x0, rel_y, interpret: bool = False,
             ]
         ),
         out_specs=(
-            pl.BlockSpec((1, _PP, nbody * CAP * _PP), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, _PP, nbody * cap * _PP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nbody * CAP), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 1, nbody * cap), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nbody * CAP), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 1, nbody * cap), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[pltpu.VMEM((wp + BAND, 128), jnp.float32)],
         interpret=interpret,
     )(*([atlas] * nq + [blurred] * nq + [x0_g, ry_g, mu_t, mv_t]))
-    blur = blur.reshape(g, _PP, nbody, CAP, _PP).transpose(0, 2, 3, 1, 4)
-    blur = blur.reshape(g * nbody, CAP, _PP, _PP)[:nb]
-    return (blur, m10.reshape(g * nbody, CAP)[:nb],
-            m01.reshape(g * nbody, CAP)[:nb])
+    blur = blur.reshape(g, _PP, nbody, cap, _PP).transpose(0, 2, 3, 1, 4)
+    blur = blur.reshape(g * nbody, cap, _PP, _PP)[:nb]
+    return (blur, m10.reshape(g * nbody, cap)[:nb],
+            m01.reshape(g * nbody, cap)[:nb])
 
 
 def _extract_t_brief_kernel(quant, nbody, *refs):
@@ -375,6 +381,7 @@ def _extract_t_brief_kernel(quant, nbody, *refs):
     planes = refs[:np_]
     x0_ref, ry_ref, mu_ref, mv_ref, patx_ref, paty_ref = refs[np_:np_ + 6]
     bits_ref, m10_ref, m01_ref, wt_ref = refs[np_ + 6:]
+    cap = x0_ref.shape[2] // nbody   # slots per band (static block shape)
     blurs, m10s, m01s = _t_extract_slots(
         planes, x0_ref, ry_ref, mu_ref, mv_ref, wt_ref, nbody=nbody)
     m10v = jnp.stack(m10s)[None, :]                          # (1, nbody*CAP)
@@ -391,7 +398,7 @@ def _extract_t_brief_kernel(quant, nbody, *refs):
 
     rows32 = jax.lax.broadcasted_iota(jnp.int32, (_PP, 256), 0)
     bits = []
-    for c in range(nbody * CAP):
+    for c in range(nbody * cap):
         ca = cav[0, c]
         sa = sav[0, c]
         vals = []
@@ -437,6 +444,7 @@ def _extract_t_brief_kernel_v4(quant, nbody, *refs):
     planes = refs[:np_]
     x0_ref, ry_ref, mu_ref, mv_ref, patx_ref, paty_ref = refs[np_:np_ + 6]
     bits_ref, m10_ref, m01_ref, wt_ref = refs[np_ + 6:]
+    cap = x0_ref.shape[2] // nbody   # slots per band (static block shape)
 
     nrows = 2 * (8 * nbody + WIN - BAND)
     w = jnp.concatenate([p[:] for p in planes], axis=0)
@@ -457,8 +465,8 @@ def _extract_t_brief_kernel_v4(quant, nbody, *refs):
 
     bits, m10s, m01s = [], [], []
     for j in range(nbody):
-        for c in range(CAP):
-            idx = j * CAP + c
+        for c in range(cap):
+            idx = j * cap + c
             x0c = x0_ref[0, 0, idx]
             ryc = ry_ref[0, 0, idx]
             xs = wt_ref[pl.ds(x0c, _PP), :]                  # (_PP, 128)
@@ -522,6 +530,7 @@ def _extract_t_brief_kernel_sparse(quant, nbody, *refs):
     planes = refs[:np_]
     x0_ref, ry_ref, mu_ref, mv_ref, patx_ref, paty_ref = refs[np_:np_ + 6]
     bits_ref, m10_ref, m01_ref, wt_ref, m_scr = refs[np_ + 6:]
+    cap = x0_ref.shape[2] // nbody   # slots per band (static block shape)
 
     nrows = 2 * (8 * nbody + WIN - BAND)
     w = jnp.concatenate([p[:] for p in planes], axis=0)
@@ -536,10 +545,10 @@ def _extract_t_brief_kernel_sparse(quant, nbody, *refs):
     blur_base = 8 * nbody + WIN - BAND
     rows32 = jax.lax.broadcasted_iota(jnp.int32, (_PP, 256), 0)
 
-    bits_ref[0] = jnp.zeros((nbody * CAP, 256), jnp.float32)
+    bits_ref[0] = jnp.zeros((nbody * cap, 256), jnp.float32)
     for j in range(nbody):
-        for c in range(CAP):
-            idx = j * CAP + c
+        for c in range(cap):
+            idx = j * cap + c
             ryc = ry_ref[0, 0, idx]
             m_scr[0, idx] = 0.0
             m_scr[1, idx] = 0.0
@@ -585,8 +594,8 @@ def _extract_t_brief_kernel_sparse(quant, nbody, *refs):
                     vals.append(jnp.round(v) if quant else v)
                 bits_ref[0, idx: idx + 1, :] = (
                     vals[0] < vals[1]).astype(jnp.float32)
-    m10_ref[0, 0] = jnp.stack([m_scr[0, i] for i in range(nbody * CAP)])
-    m01_ref[0, 0] = jnp.stack([m_scr[1, i] for i in range(nbody * CAP)])
+    m10_ref[0, 0] = jnp.stack([m_scr[0, i] for i in range(nbody * cap)])
+    m01_ref[0, 0] = jnp.stack([m_scr[1, i] for i in range(nbody * cap)])
 
 
 @functools.partial(jax.jit,
@@ -630,6 +639,7 @@ def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
 
     ha, wp = atlas.shape
     nb = ha // BAND
+    cap = tbl_x0.shape[1]            # slots per band (static)
     nq = nbody + 4                               # blocks per plane
 
     mask_np, us_np, vs_np = _ic_angle_masks()
@@ -654,22 +664,22 @@ def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
         kfn = _extract_t_brief_kernel
     scratch = [pltpu.VMEM((wp + BAND, 128), jnp.float32)]
     if sparse:
-        scratch.append(pltpu.SMEM((2, nbody * CAP), jnp.float32))
+        scratch.append(pltpu.SMEM((2, nbody * cap), jnp.float32))
     bits, m10, m01 = pl.pallas_call(
         functools.partial(kfn, quant, nbody),
         out_shape=(
-            jax.ShapeDtypeStruct((g, nbody * CAP, 256), jnp.float32),
-            jax.ShapeDtypeStruct((g, 1, nbody * CAP), jnp.float32),
-            jax.ShapeDtypeStruct((g, 1, nbody * CAP), jnp.float32),
+            jax.ShapeDtypeStruct((g, nbody * cap, 256), jnp.float32),
+            jax.ShapeDtypeStruct((g, 1, nbody * cap), jnp.float32),
+            jax.ShapeDtypeStruct((g, 1, nbody * cap), jnp.float32),
         ),
         grid=(g,),
         in_specs=(
             [_block(q) for q in range(nq)]          # raw plane blocks
             + [_block(q) for q in range(nq)]        # blur plane blocks
             + [
-                pl.BlockSpec((1, 1, nbody * CAP), lambda b: (b, 0, 0),
+                pl.BlockSpec((1, 1, nbody * cap), lambda b: (b, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, nbody * CAP), lambda b: (b, 0, 0),
+                pl.BlockSpec((1, 1, nbody * cap), lambda b: (b, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((_PP, _PP), lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -682,21 +692,21 @@ def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
             ]
         ),
         out_specs=(
-            pl.BlockSpec((1, nbody * CAP, 256), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, nbody * cap, 256), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nbody * CAP), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 1, nbody * cap), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nbody * CAP), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 1, nbody * cap), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=scratch,
         interpret=interpret,
     )(*([atlas] * nq + [blurred] * nq
         + [x0_g, ry_g, mu_t, mv_t, patx, paty]))
-    bits = bits.reshape(g * nbody, CAP, 256)[:nb]
+    bits = bits.reshape(g * nbody, cap, 256)[:nb]
     return (bits.astype(jnp.uint8),
-            m10.reshape(g * nbody, CAP)[:nb],
-            m01.reshape(g * nbody, CAP)[:nb])
+            m10.reshape(g * nbody, cap)[:nb],
+            m01.reshape(g * nbody, cap)[:nb])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -710,15 +720,16 @@ def extract_windows(win_raw, win_blur, tbl_x0, rel_y, interpret: bool = False):
     Returns (raw, blur): (NB, CAP, _PP, _PP) f32 — [:31, :31] is the patch.
     """
     nb, _, wp = win_raw.shape
+    cap = tbl_x0.shape[1]            # slots per band (static)
     j = jnp.arange(_PP, dtype=jnp.int32)
     # per-slot-lane column index; j >= 31 and parked slots never match
     x0v = tbl_x0[:, :, None] + j[None, None, :]
     x0v = jnp.where(j[None, None, :] < 31, x0v, -1_000_000)
-    x0v = x0v.reshape(nb, 1, CAP * _PP)
+    x0v = x0v.reshape(nb, 1, cap * _PP)
 
     wcat = jnp.concatenate([win_raw, win_blur], axis=1)      # (NB, 2W, WP)
 
-    out_sd = jax.ShapeDtypeStruct((nb, _PP, CAP * _PP), jnp.float32)
+    out_sd = jax.ShapeDtypeStruct((nb, _PP, cap * _PP), jnp.float32)
     raw, blur = pl.pallas_call(
         _extract_kernel,
         out_shape=(out_sd, out_sd),
@@ -726,20 +737,20 @@ def extract_windows(win_raw, win_blur, tbl_x0, rel_y, interpret: bool = False):
         in_specs=[
             pl.BlockSpec((1, 2 * WIN, wp), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, CAP * _PP), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 1, cap * _PP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, CAP), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 1, cap), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, _PP, CAP * _PP), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, _PP, cap * _PP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _PP, CAP * _PP), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, _PP, cap * _PP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(wcat, x0v, rel_y.astype(jnp.int32).reshape(nb, 1, CAP))
+    )(wcat, x0v, rel_y.astype(jnp.int32).reshape(nb, 1, cap))
 
-    raw = raw.reshape(nb, _PP, CAP, _PP).transpose(0, 2, 1, 3)
-    blur = blur.reshape(nb, _PP, CAP, _PP).transpose(0, 2, 1, 3)
+    raw = raw.reshape(nb, _PP, cap, _PP).transpose(0, 2, 1, 3)
+    blur = blur.reshape(nb, _PP, cap, _PP).transpose(0, 2, 1, 3)
     return raw, blur

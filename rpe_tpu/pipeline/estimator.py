@@ -41,6 +41,7 @@ def detect_features(img, cfg: EstimatorConfig):
             scale_factor=o.scale_factor,
             fast_threshold=o.fast_threshold,
             max_kpts=o.max_kpts,
+            extract_cap=o.extract_cap,
         )
     if cfg.feature_method.upper() == "SIFT":
         from ..ops.sift import sift_detect_and_describe

@@ -611,3 +611,65 @@ def test_extract_t_brief_end_to_end(gray):
                                   np.asarray(got["bits"])[vr])
     np.testing.assert_array_equal(np.asarray(ref["angle"])[vr],
                                   np.asarray(got["angle"])[vr])
+
+
+@pytest.mark.parametrize("cap", [16, 32])
+def test_extract_t_brief_kernel_cap_parameterized(cap):
+    """Extraction kernels must honor a non-default slots-per-band `cap`
+    (OrbConfig.extract_cap -> atlas.banded_extract(cap=...)): the v3
+    T_BRIEF kernel at cap 16/32 must stay bit-identical to
+    extract_windows_t + orb.steered_brief_t on the same (NB, cap)
+    tables. Guards the round-4 cap parameterization (kernels derive cap
+    from the table block shape, not the atlas.CAP module constant)."""
+    from rpe_tpu.ops.atlas import BAND
+    from rpe_tpu.ops.extract_pallas import (extract_windows_t,
+                                            extract_windows_t_brief)
+    from rpe_tpu.ops.orb import steered_brief_t
+
+    rng = np.random.default_rng(57 + cap)
+    nb, wp, patch = 12, 256, 31
+    ha = nb * BAND
+    atlas = rng.uniform(0, 255, (ha, wp)).astype(np.float32)
+    blurred = rng.uniform(0, 255, (ha, wp)).astype(np.float32)
+    tbl_x0 = rng.integers(0, wp - patch + 1, (nb, cap)).astype(np.int32)
+    tbl_x0[0, 0] = wp - patch          # right-edge slice must stay exact
+    rel_y = rng.integers(0, BAND, (nb, cap)).astype(np.int32)
+    args = (jnp.asarray(atlas), jnp.asarray(blurred),
+            jnp.asarray(tbl_x0), jnp.asarray(rel_y))
+
+    blur_t, m10, m01 = extract_windows_t(*args, interpret=True, nbody=4)
+    angles = jnp.arctan2(m01.reshape(-1), m10.reshape(-1))
+    ref_bits = np.asarray(steered_brief_t(
+        blur_t[:, :, :patch, :patch].reshape(nb * cap, patch, patch),
+        angles)).reshape(nb, cap, 256)
+
+    bits, m10b, m01b = extract_windows_t_brief(*args, interpret=True,
+                                               nbody=4)
+    np.testing.assert_array_equal(np.asarray(m10b), np.asarray(m10))
+    np.testing.assert_array_equal(np.asarray(m01b), np.asarray(m01))
+    np.testing.assert_array_equal(np.asarray(bits), ref_bits)
+
+
+def test_banded_extract_cap_semantics(gray):
+    """cap plumbing through orb_detect_and_describe_atlas: cap=None equals
+    the CAP=24 default bit-for-bit; raising cap only ADDS keypoints (the
+    per-band drop rule keeps the first `cap` slots, so cap-24 survivors
+    are a per-band prefix of cap-32 survivors)."""
+    from rpe_tpu.ops.orb import orb_detect_and_describe_atlas
+
+    img = jnp.asarray(gray)
+    d0 = orb_detect_and_describe_atlas(img, nfeatures=1500, nlevels=6,
+                                       max_kpts=1536)
+    d24 = orb_detect_and_describe_atlas(img, nfeatures=1500, nlevels=6,
+                                        max_kpts=1536, extract_cap=24)
+    for k in d0:
+        np.testing.assert_array_equal(np.asarray(d0[k]), np.asarray(d24[k]))
+
+    d32 = orb_detect_and_describe_atlas(img, nfeatures=1500, nlevels=6,
+                                        max_kpts=1536, extract_cap=32)
+    v24 = np.asarray(d24["valid"])
+    v32 = np.asarray(d32["valid"])
+    assert v32.sum() >= v24.sum()
+    s24 = {tuple(p) for p in np.asarray(d24["xy"])[v24].round(3).tolist()}
+    s32 = {tuple(p) for p in np.asarray(d32["xy"])[v32].round(3).tolist()}
+    assert s24 <= s32

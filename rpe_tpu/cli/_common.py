@@ -57,6 +57,12 @@ def sequence_parser(description: str, default_step: int,
                         "reference's nfeatures=4000/nlevels=12; see "
                         "docs/API.md 'Profiles' for measured speed/accuracy"
                         " trade-offs)")
+    p.add_argument("--extract-cap", type=int, default=None,
+                   help="Extraction slots per 8-row atlas band (multiple "
+                        "of 4; default: the profile's cap, 24 at parity). "
+                        "Detect time scales with it; high-res datasets "
+                        "tolerate 16 with ~1%% keypoint drop (measured "
+                        "occupancy tables in docs/API.md 'Profiles')")
     return p
 
 

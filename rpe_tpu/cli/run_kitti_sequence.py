@@ -144,12 +144,19 @@ def main(argv=None):
         estimator.config,
         ransac=dataclasses.replace(estimator.config.ransac,
                                    solver=args.solver))
+    if getattr(args, "extract_cap", None) is not None:
+        # see orchestrator.py: measured throughput dial (slots per band)
+        estimator.config = dataclasses.replace(
+            estimator.config,
+            orb=dataclasses.replace(estimator.config.orb,
+                                    extract_cap=int(args.extract_cap)))
     # frames are remapped to positions 0..N-1 below, so the checkpoint
     # needs the dataset slice identity in its hash (which files, in which
     # order) — otherwise a rerun with a different --step/--max-frames/
     # --images-dir would silently resume foreign poses.
     salt = "|".join([str(images_dir.resolve()), f"step={args.step}",
-                     f"profile={args.profile}", f"nfeatures={nfeat}"]
+                     f"profile={args.profile}", f"nfeatures={nfeat}",
+                     f"cap={estimator.config.orb.extract_cap}"]
                     + [p.name for p in paths])
     proc = BatchProcessor(images_dir, estimator, None,
                           chunk=args.chunk, mesh=make_mesh(args.devices),

@@ -34,6 +34,7 @@ def main(argv=None):
         chunk=args.chunk,
         profile=args.profile,
         seed=args.seed,
+        extract_cap=args.extract_cap,
     )
     pipeline.setup()
     results = pipeline.run(

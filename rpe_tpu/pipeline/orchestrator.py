@@ -41,6 +41,7 @@ class PoseEstimationPipeline:
         chunk=8,
         profile="parity",
         seed=0,
+        extract_cap=None,
     ):
         self.data_dir = Path(data_dir)
         self.images_dir = Path(images_dir) if images_dir else self.data_dir / "images"
@@ -66,6 +67,19 @@ class PoseEstimationPipeline:
         self.estimator_config = profile_config(profile)
         self.nfeatures = (nfeatures if profile == "parity"
                           else self.estimator_config.orb.nfeatures)
+        if extract_cap is not None:
+            # Extraction slots per 8-row atlas band (OrbConfig.extract_cap;
+            # detect time ~ NB*cap on TPU). Overrides the profile's cap —
+            # high-resolution datasets are heavily over-provisioned at the
+            # default 24 (1080p salah: drop 1.7% at cap 16,
+            # .scratch/cap_occupancy_lab.py), so this is a measured
+            # throughput dial with near-zero accuracy cost there.
+            import dataclasses
+
+            self.estimator_config = dataclasses.replace(
+                self.estimator_config,
+                orb=dataclasses.replace(self.estimator_config.orb,
+                                        extract_cap=int(extract_cap)))
         # RANSAC base seed (per-pair key = seed + frame index,
         # pipeline/batch.py:149). Sweeps should space seeds wider than the
         # largest frame index so per-pair key sets cannot overlap.

@@ -49,12 +49,12 @@ _DESC_GRID = 24        # bilinear sample grid for descriptor window
 _EDGE_R = 10.0
 
 
-def _blur(img, sigma):
+def _blur_conv(img, sigma):
+    """Separable Gaussian via lax.conv (C=1) — MEASURED SLOW on TPU:
+    XLA lowers single-channel spatial convs poorly (the 20 pyramid
+    passes cost 141 ms/frame at KITTI size, .scratch/tpu_sift_ab.py)."""
     if sigma <= 0.0:
         return img
-    # OpenCV GaussianBlur auto-ksize for float images truncates at 4 sigma
-    # (8*sigma+1 wide); borderline contrast/edge decisions track cv2's only
-    # with the same kernel support.
     ksize = int(2 * round(4.0 * sigma) + 1)
     k = _gaussian_kernel1d(ksize, sigma)
     r = ksize // 2
@@ -67,6 +67,36 @@ def _blur(img, sigma):
         x[None, None], k.reshape(1, 1, 1, ksize), (1, 1), "VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
     return x
+
+
+def _blur(img, sigma):
+    """Separable Gaussian as static-slice shift+fma chains (VPU loop
+    fusion; no conv op). Same kernel support as cv2's auto-ksize float
+    GaussianBlur (truncate at 4 sigma, 8*sigma+1 wide) — borderline
+    contrast/edge decisions track cv2's only with the same support.
+    Tap accumulation order differs from XLA's conv reduction by ULPs.
+    """
+    if sigma <= 0.0:
+        return img
+    ksize = int(2 * round(4.0 * sigma) + 1)
+    r = ksize // 2
+    # taps in pure numpy (a jnp kernel under trace is a tracer —
+    # CLAUDE.md hazard; same f64->f32 rounding as _gaussian_kernel1d)
+    xs = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-(xs * xs) / (2.0 * sigma * sigma))
+    k = (k / k.sum()).astype(np.float32)
+    h, w = img.shape
+    x = jnp.pad(img, ((r, r), (0, 0)), mode="reflect")
+    acc = None
+    for t in range(ksize):
+        term = x[t:t + h, :] * float(k[t])
+        acc = term if acc is None else acc + term
+    x = jnp.pad(acc, ((0, 0), (r, r)), mode="reflect")
+    acc = None
+    for t in range(ksize):
+        term = x[:, t:t + w] * float(k[t])
+        acc = term if acc is None else acc + term
+    return acc
 
 
 def _bilinear_sample(img, xs, ys):
@@ -136,7 +166,7 @@ def _solve_offset(g, H):
     return offx, offy, offs, inv_ok
 
 
-def _detect_octave(gauss, dogs, quota, border=5):
+def _detect_octave(gauss, dogs, quota, border=5, select="approx"):
     """Extrema + OpenCV-style iterative subpixel relocation on one octave.
 
     gauss: list of (H, W) Gaussian levels; dogs: (s+2) DoG maps.
@@ -149,10 +179,80 @@ def _detect_octave(gauss, dogs, quota, border=5):
     0.5, discarding non-converged points) via per-candidate 3x3x3 cube
     gathers — the dense one-step-and-clip approximation left ~12% of
     cv2's keypoints unreproduced (PARITY.md round-1 measurement).
+
+    The 26-neighbor comparison is built from SEPARABLE shift-maxes: each
+    DoG plane's 3-wide row max is computed once and reused by the plane
+    above/below (full 3x3 max) and by the plane itself (8-neighbor max,
+    center excluded via the two row neighbors) — bit-identical to the
+    naive 26-roll stack on interior pixels (border >= 5 masks the roll
+    wrap), but ~5x less HBM traffic and no (26, H, W) materialization.
+
+    select: "exact" (default) = full-sort lax.top_k; "approx" =
+    lax.approx_max_k — MEASURED SLOWER on TPU at these shapes (1122 vs
+    644 ms/frame detect, .scratch/tpu_sift_ab.py round 4): PartialReduce
+    degenerates at k=3072 over 3*H*W elements; "block2" = two top-1
+    passes per 128-lane block then an exact sort over the per-block
+    winners (loses only 3+-extrema-per-block cases).
     """
     h, w = dogs[0].shape
     D = jnp.stack(dogs, axis=0)  # (s+2, H, W)
+    val = _extrema_vals(D, border)
+    if select == "approx":
+        scores0, flat = jax.lax.approx_max_k(val, quota,
+                                             recall_target=0.98)
+        flat = flat.astype(jnp.int32)
+    elif select == "block2":
+        # Two exact top-1 passes over 128-element blocks (VPU reduces),
+        # then one exact top-k over the 2*nblocks block winners — a
+        # ~100x smaller sort than the full 3*H*W lax.top_k. Loses a
+        # candidate only when >= 3 extrema share one 128-span of a DoG
+        # row (extrema density is ~0.3% so this is rare); candidates are
+        # re-ranked exactly afterwards.
+        n = val.shape[0]
+        nb = -(-n // 128)
+        vpad = jnp.pad(val, (0, nb * 128 - n)).reshape(nb, 128)
+        i1 = jnp.argmax(vpad, axis=1)
+        v1 = jnp.take_along_axis(vpad, i1[:, None], 1)[:, 0]
+        vmask = vpad.at[jnp.arange(nb), i1].set(0.0)
+        i2 = jnp.argmax(vmask, axis=1)
+        v2 = jnp.take_along_axis(vmask, i2[:, None], 1)[:, 0]
+        base = jnp.arange(nb, dtype=jnp.int32) * 128
+        cv = jnp.concatenate([v1, v2])
+        ci = jnp.concatenate([base + i1.astype(jnp.int32),
+                              base + i2.astype(jnp.int32)])
+        scores0, sel = jax.lax.top_k(cv, quota)
+        flat = jnp.minimum(ci[sel], n - 1)
+    else:
+        scores0, flat = jax.lax.top_k(val, quota)
+    return _refine_candidates(D, scores0, flat, h, w, border)
+
+
+def _extrema_vals(D, border):
+    """|DoG| at 26-neighbor extrema, 0 elsewhere, flattened (3*H*W,).
+
+    Built from separable shift-maxes (see _detect_octave docstring)."""
+    h, w = D.shape[1], D.shape[2]
     prethr = 0.5 * 0.04 / _S
+
+    def hshift3(d, red):
+        return red(red(jnp.roll(d, 1, 1), d), jnp.roll(d, -1, 1))
+
+    # per-plane row-of-3 maxes/mins, computed once and shared across the
+    # three center layers
+    hmax = [hshift3(D[p], jnp.maximum) for p in range(_S + 2)]
+    hmin = [hshift3(D[p], jnp.minimum) for p in range(_S + 2)]
+
+    def full3x3(hm, red):
+        return red(red(jnp.roll(hm, 1, 0), hm), jnp.roll(hm, -1, 0))
+
+    def ring8(d, hm, red):
+        # 8 neighbors of the center plane: full rows above/below + the
+        # two horizontal neighbors of the center row
+        return red(red(jnp.roll(hm, 1, 0), jnp.roll(hm, -1, 0)),
+                   red(jnp.roll(d, 1, 1), jnp.roll(d, -1, 1)))
+
+    v3max = [full3x3(hmax[p], jnp.maximum) for p in range(_S + 2)]
+    v3min = [full3x3(hmin[p], jnp.minimum) for p in range(_S + 2)]
 
     cands_val = []
     ys_g = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
@@ -161,21 +261,21 @@ def _detect_octave(gauss, dogs, quota, border=5):
              & (xs_g >= border) & (xs_g < w - border))
     for k in range(1, _S + 1):
         d = D[k]
-        neigh = []
-        for dk in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                for dx in (-1, 0, 1):
-                    if dk == 0 and dy == 0 and dx == 0:
-                        continue
-                    neigh.append(jnp.roll(D[k + dk], (dy, dx), axis=(0, 1)))
-        n = jnp.stack(neigh, axis=0)
-        is_max = (d > jnp.max(n, axis=0)) & (d > prethr)
-        is_min = (d < jnp.min(n, axis=0)) & (d < -prethr)
+        nmax = jnp.maximum(ring8(d, hmax[k], jnp.maximum),
+                           jnp.maximum(v3max[k - 1], v3max[k + 1]))
+        nmin = jnp.minimum(ring8(d, hmin[k], jnp.minimum),
+                           jnp.minimum(v3min[k - 1], v3min[k + 1]))
+        is_max = (d > nmax) & (d > prethr)
+        is_min = (d < nmin) & (d < -prethr)
         ext = (is_max | is_min) & bmask
         cands_val.append(jnp.where(ext, jnp.abs(d), 0.0))
 
-    val = jnp.stack(cands_val, 0).reshape(-1)            # (3*H*W,)
-    scores0, flat = jax.lax.top_k(val, quota)
+    return jnp.stack(cands_val, 0).reshape(-1)           # (3*H*W,)
+
+
+def _refine_candidates(D, scores0, flat, h, w, border):
+    """OpenCV adjustLocalExtrema loop + final contrast/edge checks on the
+    selected candidates (see _detect_octave docstring)."""
     pix = flat % (h * w)
     kk = (flat // (h * w)).astype(jnp.int32) + 1         # layer in [1, _S]
     py = (pix // w).astype(jnp.int32)
@@ -412,11 +512,16 @@ def _descriptor(gradx, grady, li, xy, scl, theta):
 
 
 def sift_detect_and_describe(img, cfg: SiftConfig = SiftConfig(),
-                             upscale_first: bool = True):
+                             upscale_first: bool = True,
+                             select: str = "exact"):
     """Full SIFT on one grayscale image (H, W) float32 [0, 255].
 
     Returns the same static-shape dict contract as ORB, with "desc"
     (max_kpts, 128) float32 instead of binary "bits".
+
+    select: extrema-quota selection mode ("approx" = lax.approx_max_k,
+    TPU-fast, exact on CPU; "exact" = full-sort lax.top_k) — static, see
+    _detect_octave.
     """
     x = img.astype(jnp.float32) / 255.0
     h0, w0 = img.shape
@@ -450,7 +555,8 @@ def sift_detect_and_describe(img, cfg: SiftConfig = SiftConfig(),
             gauss.append(_blur(gauss[-1], sig[i]))
         dogs = [gauss[i + 1] - gauss[i] for i in range(_S + 2)]
 
-        xy, lay, scores, valid, kint = _detect_octave(gauss, dogs, quotas[o])
+        xy, lay, scores, valid, kint = _detect_octave(
+            gauss, dogs, quotas[o], select=select)
         xy = jnp.where(valid[:, None], xy, 16.0)
         scl = _SIGMA0 * (2.0 ** ((lay) / _S))  # octave coords scale
 

@@ -356,29 +356,92 @@ def _bilinear_sample_stack(imgs, li, xs, ys):
             + v10 * (1 - fx) * fy + v11 * fx * fy)
 
 
-def _orientation(gradx, grady, li, xy, scl, valid):
+def _extract_patches(gstack, li, xy, P):
+    """Per-keypoint (P, P) patch of the keypoint's own Gaussian layer.
+
+    gstack: (L, H, W); li: (Q,) int32 layer; xy: (Q, 2) octave coords.
+    Returns (patches (Q, P, P), x0 (Q,), y0 (Q,)) with x0/y0 the patch
+    origin (clamped so the slice stays in-image; in-patch coords are
+    exact via xy - origin). One slice-gather (contiguous P-float rows)
+    replaces the ~28M-element random bilinear gathers that were 88% of
+    SIFT detect on TPU (.scratch/tpu_sift_stage_probe.py, round 4).
+    """
+    _, h, w = gstack.shape
+    y0 = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32) - P // 2,
+                  0, h - P)
+    x0 = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32) - P // 2,
+                  0, w - P)
+
+    def slc(args):
+        l, y, x = args
+        return jax.lax.dynamic_slice(gstack, (l, y, x), (1, P, P))[0]
+
+    patches = jax.vmap(slc)((li, y0, x0))
+    return patches, x0, y0
+
+
+def _patch_grads(patches):
+    """Central-difference gradients inside each patch (roll wrap only on
+    the 1-px patch rim, which _sep_weights keeps samples off)."""
+    gx = (jnp.roll(patches, -1, 2) - jnp.roll(patches, 1, 2)) * 0.5
+    gy = (jnp.roll(patches, -1, 1) - jnp.roll(patches, 1, 1)) * 0.5
+    return gx, gy
+
+
+def _sep_weights(u, P):
+    """Bilinear interpolation weights for per-axis sample coords.
+
+    u: (Q, G) float in-patch coords -> (Q, G, P) weights with two
+    nonzeros per row; samples clamp to [1, P-2] (off the wrapped-
+    gradient rim, matching the old image-edge clamp up to the border).
+    """
+    u = jnp.clip(u, 1.0, P - 2.001)
+    u0 = jnp.floor(u).astype(jnp.int32)
+    f = (u - u0).astype(jnp.float32)
+    oh0 = jax.nn.one_hot(u0, P, dtype=jnp.float32) * (1 - f)[..., None]
+    oh1 = jax.nn.one_hot(u0 + 1, P, dtype=jnp.float32) * f[..., None]
+    return oh0 + oh1
+
+
+def _patch_sample(gp, Wy, Wx):
+    """Separable bilinear sampling as two batched matmuls (MXU).
+
+    gp: (Q, P, P); Wy: (Q, Gy, P); Wx: (Q, Gx, P) -> (Q, Gy, Gx).
+    HIGHEST precision: the selection contractions must not run in
+    single-pass bf16 (CLAUDE.md precision rule).
+    """
+    hi = jax.lax.Precision.HIGHEST
+    t = jnp.einsum("qir,qrc->qic", Wy, gp, precision=hi)
+    return jnp.einsum("qic,qjc->qij", t, Wx, precision=hi)
+
+
+def _orientation(patches, ucx, ucy, scl, valid):
     """Gradient orientation(s) per keypoint (radians).
 
-    gradx/grady: (L, H, W) per-layer gradient stacks; li: (Q,) int32 layer
-    index — each keypoint samples its own Gaussian layer's gradients
-    (OpenCV calcOrientationHist operates on the keypoint's layer; the
-    round-1 shared-plane shortcut cost orientation accuracy, PARITY.md).
-    xy: (Q, 2) octave coords; scl: (Q,) scale in octave coords.
+    patches: (Q, P, P) per-keypoint Gaussian-layer windows (each keypoint
+    samples its own layer — OpenCV calcOrientationHist operates on the
+    keypoint's layer; the round-1 shared-plane shortcut cost orientation
+    accuracy, PARITY.md). ucx/ucy: (Q,) in-patch center coords; scl:
+    (Q,) scale in octave coords. Sampling is an axis-aligned separable
+    grid -> two batched matmuls per gradient plane, no gathers.
 
     Returns (theta1, theta2, has2): the dominant orientation and, when a
     second local histogram peak reaches 80% of the max (OpenCV
     SIFT_ORI_PEAK_RATIO), a secondary orientation that becomes an extra
     keypoint — cv2.SIFT emits one keypoint per qualifying peak.
     """
-    q = xy.shape[0]
+    q, P = patches.shape[0], patches.shape[1]
     g = _ORI_GRID
     lin = (jnp.arange(g) - (g - 1) / 2.0) / ((g - 1) / 2.0)  # [-1, 1]
     gy_, gx_ = jnp.meshgrid(lin, lin, indexing="ij")
     radius = 3.0 * 1.5 * scl                                   # (Q,)
-    sx = xy[:, 0:1] + gx_.reshape(1, -1) * radius[:, None]
-    sy = xy[:, 1:2] + gy_.reshape(1, -1) * radius[:, None]
-    vx = _bilinear_sample_stack(gradx, li, sx, sy).reshape(q, g, g)
-    vy = _bilinear_sample_stack(grady, li, sx, sy).reshape(q, g, g)
+    ux = ucx[:, None] + lin[None, :] * radius[:, None]         # (Q, g)
+    uy = ucy[:, None] + lin[None, :] * radius[:, None]
+    gxp, gyp = _patch_grads(patches)
+    Wx = _sep_weights(ux, P)
+    Wy = _sep_weights(uy, P)
+    vx = _patch_sample(gxp, Wy, Wx)                            # (Q, g, g)
+    vy = _patch_sample(gyp, Wy, Wx)
 
     mag = jnp.sqrt(vx * vx + vy * vy)
     ang = jnp.arctan2(vy, vx)  # (-pi, pi]
@@ -431,12 +494,21 @@ def _orientation(gradx, grady, li, xy, scl, valid):
     return theta1, theta2, has2
 
 
-def _descriptor(gradx, grady, li, xy, scl, theta):
-    """4x4x8 SIFT descriptor sampled on a fixed rotated grid.
+def _descriptor(patches, ucx, ucy, scl, theta):
+    """4x4x8 SIFT descriptor from an AXIS-ALIGNED sample grid with
+    ROTATED bin coordinates.
 
-    gradx/grady: (L, H, W) per-layer gradient stacks; li: (Q,) layer index.
+    patches: (Q, P, P) Gaussian-layer windows; ucx/ucy: (Q,) in-patch
+    centers. The grid half-width equals the rotated bin square's
+    circumradius (OpenCV's radius), so the axis-aligned square contains
+    the whole rotated window; samples landing outside the bin range are
+    masked by tri() exactly like cv2 discards out-of-bin pixels of its
+    own axis-aligned iteration (sift.cpp calcSIFTDescriptor). Keeping
+    the grid axis-aligned makes the sampling separable -> two batched
+    matmuls, no gathers (the rotated-grid version's random bilinear
+    gathers were 88% of detect on TPU).
     """
-    q = xy.shape[0]
+    q, P = patches.shape[0], patches.shape[1]
     g = _DESC_GRID
     d = _DESC_D
     # window half-width = 3 * scl * (d+1)/2 * sqrt(2) (OpenCV geometry)
@@ -445,22 +517,23 @@ def _descriptor(gradx, grady, li, xy, scl, theta):
 
     lin = (jnp.arange(g) + 0.5) / g * 2.0 - 1.0          # (-1, 1)
     gy_, gx_ = jnp.meshgrid(lin, lin, indexing="ij")
-    ca, sa = jnp.cos(theta), jnp.sin(theta)              # (Q,)
-    rx = (gx_[None] * ca[:, None, None] - gy_[None] * sa[:, None, None])
-    ry = (gx_[None] * sa[:, None, None] + gy_[None] * ca[:, None, None])
-    sx = xy[:, 0:1] + (rx * radius[:, None, None]).reshape(q, -1)
-    sy = xy[:, 1:2] + (ry * radius[:, None, None]).reshape(q, -1)
-
-    vx = _bilinear_sample_stack(gradx, li, sx, sy).reshape(q, g, g)
-    vy = _bilinear_sample_stack(grady, li, sx, sy).reshape(q, g, g)
+    ux = ucx[:, None] + lin[None, :] * radius[:, None]   # (Q, g)
+    uy = ucy[:, None] + lin[None, :] * radius[:, None]
+    gxp, gyp = _patch_grads(patches)
+    Wx = _sep_weights(ux, P)
+    Wy = _sep_weights(uy, P)
+    vx = _patch_sample(gxp, Wy, Wx)                      # (Q, g, g)
+    vy = _patch_sample(gyp, Wy, Wx)
     mag = jnp.sqrt(vx * vx + vy * vy)
     ang = jnp.arctan2(vy, vx) - theta[:, None, None]
 
-    # rotated sample coords in histogram units: [-1,1]*sqrt2*(d+1)/2 -> bins
-    rbin = gy_[None] * math.sqrt(2.0) * (d + 1) * 0.5 + d / 2.0 - 0.5
-    cbin = gx_[None] * math.sqrt(2.0) * (d + 1) * 0.5 + d / 2.0 - 0.5
-    rbin = jnp.broadcast_to(rbin, (q, g, g))
-    cbin = jnp.broadcast_to(cbin, (q, g, g))
+    # bin coords: rotate the grid into the descriptor frame (g' =
+    # R(-theta) u), in histogram units [-1,1]*sqrt2*(d+1)/2 -> bins
+    ca, sa = jnp.cos(theta), jnp.sin(theta)              # (Q,)
+    gxr = gx_[None] * ca[:, None, None] + gy_[None] * sa[:, None, None]
+    gyr = -gx_[None] * sa[:, None, None] + gy_[None] * ca[:, None, None]
+    rbin = gyr * math.sqrt(2.0) * (d + 1) * 0.5 + d / 2.0 - 0.5
+    cbin = gxr * math.sqrt(2.0) * (d + 1) * 0.5 + d / 2.0 - 0.5
     # OpenCV's descriptor gradient convention is y-UP (dy = I[r-1]-I[r+1],
     # sift.cpp calcSIFTDescriptor), so its orientation axis runs opposite
     # to our y-down atan2: negate the relative angle so the 8 orientation
@@ -501,7 +574,14 @@ def _descriptor(gradx, grady, li, xy, scl, theta):
     R = tri(rbin, d, wrap=False)
     C = tri(cbin, d, wrap=False)
     O = tri(obin, _DESC_B, wrap=True)
-    hist = jnp.einsum("qij,qijr,qijc,qijo->qrco", w, R, C, O)
+    # structured contraction: spatial one-hot (R x C -> 16) against the
+    # weighted orientation one-hot, one batched (16, g*g) @ (g*g, 8)
+    # matmul — bounds the intermediate at (Q, g*g, 16) instead of the
+    # 4-operand einsum's (Q, g*g, 128) materialization
+    RC = (R[..., :, None] * C[..., None, :]).reshape(q, g * g, d * d)
+    wO = (w[..., None] * O).reshape(q, g * g, _DESC_B)
+    hist = jnp.einsum("qsm,qso->qmo", RC, wO,
+                      precision=jax.lax.Precision.HIGHEST)
     desc = hist.reshape(q, d * d * _DESC_B)
 
     # normalize -> clip 0.2 -> renormalize
@@ -560,15 +640,20 @@ def sift_detect_and_describe(img, cfg: SiftConfig = SiftConfig(),
         xy = jnp.where(valid[:, None], xy, 16.0)
         scl = _SIGMA0 * (2.0 ** ((lay) / _S))  # octave coords scale
 
-        # per-layer gradient stacks: each keypoint samples its own Gaussian
-        # layer (layers 1.._S), matching cv2's calcOrientationHist /
-        # calcSIFTDescriptor layer choice.
+        # per-keypoint patch of the keypoint's own Gaussian layer
+        # (layers 1.._S), matching cv2's calcOrientationHist /
+        # calcSIFTDescriptor layer choice. Patch half-width 40 covers the
+        # max descriptor radius (3 * scl_max * sqrt2 * 2.5 ~= 38.5 at
+        # scl_max = 1.6 * 2^(3.5/3)); orientation (radius <= 16.2) reads
+        # the same patch.
         gstack = jnp.stack([gauss[k] for k in range(1, _S + 1)], axis=0)
-        gx = (jnp.roll(gstack, -1, 2) - jnp.roll(gstack, 1, 2)) * 0.5
-        gy = (jnp.roll(gstack, -1, 1) - jnp.roll(gstack, 1, 1)) * 0.5
         li = jnp.clip(kint - 1, 0, _S - 1)
+        P = min(80, oh, ow)
+        patches, px0, py0 = _extract_patches(gstack, li, xy, P)
+        ucx = xy[:, 0] - px0.astype(jnp.float32)
+        ucy = xy[:, 1] - py0.astype(jnp.float32)
 
-        theta1, theta2, has2 = _orientation(gx, gy, li, xy, scl, valid)
+        theta1, theta2, has2 = _orientation(patches, ucx, ucy, scl, valid)
 
         # secondary-orientation expansion (cv2 emits one keypoint per
         # histogram peak >= 0.8*max), then re-select the octave's static
@@ -593,7 +678,9 @@ def sift_detect_and_describe(img, cfg: SiftConfig = SiftConfig(),
         valid = sel_score > 0.0
         scores = sel_score
 
-        desc = _descriptor(gx, gy, li, xy, scl, theta)
+        # primary and secondary share the source keypoint's patch
+        pidx = sel % q0
+        desc = _descriptor(patches[pidx], ucx[pidx], ucy[pidx], scl, theta)
 
         oct_scale = base_scale * (2.0 ** o)
         outs.append({

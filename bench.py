@@ -124,7 +124,133 @@ def bench_tpu(img1, img2, K, cfg=None):
     for o in outs:
         np.asarray(o["R"])
     dt = time.perf_counter() - t0
-    return batch * ITERS / dt, outs[-1]
+    return batch * ITERS / dt, outs[-1], seq
+
+
+def bench_detect_stage(seq, cfg, reps=4):
+    """detect-only ms/image (same barrier methodology as bench_tpu: the
+    jitted program reduces to one scalar in-jit; the float() transfer is
+    the only reliable barrier on the tunneled backend). One extra program
+    shape (~2-4 min remote compile) — the price of an auditable stage
+    split in the driver artifact (round-4 verdict item 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rpe_tpu.pipeline.estimator import detect_features
+
+    @jax.jit
+    def detect_only(imgs):
+        dets = jax.lax.map(lambda im: detect_features(im, cfg), imgs)
+        return sum(jnp.sum(v) for v in jax.tree.leaves(dets))
+
+    float(detect_only(seq))  # compile + first run
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = detect_only(seq)
+        float(r)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best * 1000.0 / seq.shape[0]
+
+
+# v5e nominal bf16 MXU peak; the measured ceiling at real shapes on this
+# chip is far lower (61 TFLOP/s at 8192^3, 16 at the matcher's shape —
+# docs/PERF_LOG.md roofline), so %-of-peak here is a conservative
+# LOWER bound on how much headroom remains.
+_PEAK_BF16_TFLOPS = 197.0
+
+
+def _stage_flops(cfg, h=H, w=W):
+    """Static per-stage FLOP estimates (GFLOP) for the MFU block.
+
+    Counts the arithmetic the TPU programs actually issue (one-hot
+    selection contractions included — they are real MXU work even though
+    they move no information), not textbook op counts. Formulas cite the
+    op they model; constants from docs/PERF_LOG.md rooflines."""
+    from rpe_tpu.ops.atlas import BAND, CAP, atlas_layout
+    from rpe_tpu.ops.pyramid import level_shapes
+
+    o = cfg.orb
+    shapes = level_shapes(h, w, o.nlevels, o.scale_factor)
+    _, ha, wp = atlas_layout(h, w, o.nlevels, o.scale_factor)
+    cap = o.extract_cap or CAP
+    nb = ha // BAND
+    # fused pyramid build: vertical stacked matmul + per-level horizontal
+    atlas_f = (sum(lh for (lh, _) in shapes[1:]) * h * w * 2
+               + sum(lh * w * lw * 2 for (lh, lw) in shapes[1:]))
+    # rank kernel: ~260 VPU elementwise ops/px over the atlas (FAST-9
+    # rolls + Harris) — VPU work, charged against the same peak for a
+    # single conservative utilization number
+    rank_f = 260 * ha * wp
+    # T_BRIEF extraction: per slot 2 one-hot sampling dots (32,32)@(32,256)
+    # + 16 masked slice-FMAs on (32,32) + IC moments
+    slot_f = (2 * 2 * 32 * 32 * 256) + 16 * 2 * 32 * 32 + 4 * 32 * 32
+    extract_f = nb * cap * slot_f
+    detect_g = (atlas_f + rank_f + extract_f) / 1e9
+    # matcher: one (K,256)@(256,K) distance dot (Hamming via popcount-
+    # expanded matmul) + argmin passes
+    k = o.max_kpts
+    match_f = 2 * k * 256 * k
+    # 5pt RANSAC: hypothesis solves + Sampson scoring over all matches
+    r = cfg.ransac
+    m = cfg.matcher.max_matches
+    pose_f = r.num_hypotheses * (20_000 + m * 60)
+    mtp_g = (match_f + pose_f) / 1e9
+    return {
+        "detect_gflop_per_image": round(detect_g, 2),
+        "extract_gflop_per_image": round(extract_f / 1e9, 2),
+        "match_to_pose_gflop_per_pair": round(mtp_g, 2),
+    }
+
+
+def _stage_block(seq, cfg, total_ms_per_pair):
+    """stages + mfu dicts for the bench JSON line (round-4 verdict #3:
+    every 'at floor' claim must cite an auditable number in the bench
+    artifact). detect is measured inline; extraction ms comes from the
+    newest stage-probe artifact when one exists (written by
+    .scratch/tpu_stage_probe.py on validation runs) because an inline
+    extraction-only program would add another multi-minute remote
+    compile to every driver bench run."""
+    import os
+
+    detect_ms = bench_detect_stage(seq, cfg)
+    mtp_ms = max(total_ms_per_pair - detect_ms, 0.0)
+    stages = {
+        "total_ms_per_pair": round(total_ms_per_pair, 3),
+        "detect_ms_per_image": round(detect_ms, 3),
+        "match_to_pose_ms_per_pair": round(mtp_ms, 3),
+        "source": "inline (detect program + headline loop)",
+    }
+    extract_ms = None
+    try:
+        with open("/tmp/stage_probe.json") as f:
+            rec = json.loads(f.read().splitlines()[-1])
+        extract_ms = float(rec["extract_ms_per_image"])
+        stages["extract_ms_per_image"] = round(extract_ms, 3)
+        stages["extract_source"] = "artifact:/tmp/stage_probe.json"
+    except (OSError, KeyError, ValueError, IndexError):
+        pass
+    fl = _stage_flops(cfg)
+    peak = _PEAK_BF16_TFLOPS
+
+    def pct(gflop, ms):
+        return (round(100.0 * (gflop / 1e3) / (peak * ms / 1e3), 2)
+                if ms and ms > 0 else None)
+
+    mfu = {
+        "peak_bf16_tflops_nominal": peak,
+        **fl,
+        "detect_pct_peak": pct(fl["detect_gflop_per_image"], detect_ms),
+        "match_to_pose_pct_peak": pct(
+            fl["match_to_pose_gflop_per_pair"], mtp_ms),
+        "extract_pct_peak": pct(
+            fl["extract_gflop_per_image"], extract_ms),
+        "note": ("extraction issues one-hot selection work at near-zero "
+                 "information density; its pct_peak is the structural "
+                 "headroom argument, not a target"),
+    }
+    return stages, mfu
 
 
 def bench_opencv(img1, img2, K, reps=3):
@@ -400,7 +526,7 @@ def main(argv=None):
         note = ("validation log recorded hardware failures; disabled: "
                 + ",".join(sorted(_off)))
     try:
-        tpu_pps, out = bench_tpu(img1, img2, K, cfg=cfg)
+        tpu_pps, out, seq = bench_tpu(img1, img2, K, cfg=cfg)
     except Exception as e:
         # A Mosaic rejection of a default-on kernel must not cost the
         # round's number: fall back to the pure-XLA formulation once.
@@ -412,8 +538,16 @@ def main(argv=None):
 
         os.environ["RPE_NO_PALLAS"] = "1"
         jax.clear_caches()
-        tpu_pps, out = bench_tpu(img1, img2, K, cfg=cfg)
+        tpu_pps, out, seq = bench_tpu(img1, img2, K, cfg=cfg)
         note = "RPE_NO_PALLAS fallback (default kernel path failed)"
+    stages = mfu = None
+    import os as _os
+
+    if not args.sift and _os.environ.get("RPE_BENCH_STAGES") != "0":
+        try:
+            stages, mfu = _stage_block(seq, cfg, 1000.0 / tpu_pps)
+        except Exception as e:  # stage split must never cost the number
+            print(f"[bench] stage block failed: {e}", file=sys.stderr)
     try:
         # vs_baseline is always the reference's own headline configuration
         # timed on this host (cv2 at its hardcoded defaults for the same
@@ -429,6 +563,9 @@ def main(argv=None):
         "unit": "pairs/s",
         "vs_baseline": round(tpu_pps / cv_pps, 3) if cv_pps == cv_pps else None,
     }
+    if stages is not None:
+        result["stages"] = stages
+        result["mfu"] = mfu
     if note:
         result["note"] = note
     print(json.dumps(result))

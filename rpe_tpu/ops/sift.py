@@ -166,7 +166,7 @@ def _solve_offset(g, H):
     return offx, offy, offs, inv_ok
 
 
-def _detect_octave(gauss, dogs, quota, border=5, select="approx"):
+def _detect_octave(gauss, dogs, quota, border=5, select="exact"):
     """Extrema + OpenCV-style iterative subpixel relocation on one octave.
 
     gauss: list of (H, W) Gaussian levels; dogs: (s+2) DoG maps.
@@ -187,12 +187,12 @@ def _detect_octave(gauss, dogs, quota, border=5, select="approx"):
     naive 26-roll stack on interior pixels (border >= 5 masks the roll
     wrap), but ~5x less HBM traffic and no (26, H, W) materialization.
 
-    select: "exact" (default) = full-sort lax.top_k; "approx" =
-    lax.approx_max_k — MEASURED SLOWER on TPU at these shapes (1122 vs
-    644 ms/frame detect, .scratch/tpu_sift_ab.py round 4): PartialReduce
-    degenerates at k=3072 over 3*H*W elements; "block2" = two top-1
-    passes per 128-lane block then an exact sort over the per-block
-    winners (loses only 3+-extrema-per-block cases).
+    select: "exact" (default, matches this signature) = full-sort
+    lax.top_k; "approx" = lax.approx_max_k — MEASURED SLOWER on TPU at
+    these shapes (1122 vs 644 ms/frame detect, .scratch/tpu_sift_ab.py
+    round 4): PartialReduce degenerates at k=3072 over 3*H*W elements;
+    "block2" = two top-1 passes per 128-lane block then an exact sort
+    over the per-block winners (loses only 3+-extrema-per-block cases).
     """
     h, w = dogs[0].shape
     D = jnp.stack(dogs, axis=0)  # (s+2, H, W)
@@ -356,25 +356,28 @@ def _bilinear_sample_stack(imgs, li, xs, ys):
             + v10 * (1 - fx) * fy + v11 * fx * fy)
 
 
-def _extract_patches(gstack, li, xy, P):
-    """Per-keypoint (P, P) patch of the keypoint's own Gaussian layer.
+def _extract_patches(gstack, li, xy, Py, Px):
+    """Per-keypoint (Py, Px) patch of the keypoint's own Gaussian layer.
 
     gstack: (L, H, W); li: (Q,) int32 layer; xy: (Q, 2) octave coords.
-    Returns (patches (Q, P, P), x0 (Q,), y0 (Q,)) with x0/y0 the patch
+    Returns (patches (Q, Py, Px), x0 (Q,), y0 (Q,)) with x0/y0 the patch
     origin (clamped so the slice stays in-image; in-patch coords are
-    exact via xy - origin). One slice-gather (contiguous P-float rows)
+    exact via xy - origin). One slice-gather (contiguous Px-float rows)
     replaces the ~28M-element random bilinear gathers that were 88% of
     SIFT detect on TPU (.scratch/tpu_sift_stage_probe.py, round 4).
+    Py/Px are independent so short-but-wide octaves (e.g. KITTI octave 4,
+    47x155) keep real image data along the long axis instead of clamping
+    to a square rim (round-5 advisor fix).
     """
     _, h, w = gstack.shape
-    y0 = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32) - P // 2,
-                  0, h - P)
-    x0 = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32) - P // 2,
-                  0, w - P)
+    y0 = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32) - Py // 2,
+                  0, h - Py)
+    x0 = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32) - Px // 2,
+                  0, w - Px)
 
     def slc(args):
         l, y, x = args
-        return jax.lax.dynamic_slice(gstack, (l, y, x), (1, P, P))[0]
+        return jax.lax.dynamic_slice(gstack, (l, y, x), (1, Py, Px))[0]
 
     patches = jax.vmap(slc)((li, y0, x0))
     return patches, x0, y0
@@ -415,31 +418,33 @@ def _patch_sample(gp, Wy, Wx):
     return jnp.einsum("qic,qjc->qij", t, Wx, precision=hi)
 
 
-def _orientation(patches, ucx, ucy, scl, valid):
+def _orientation(gxp, gyp, ucx, ucy, scl, valid):
     """Gradient orientation(s) per keypoint (radians).
 
-    patches: (Q, P, P) per-keypoint Gaussian-layer windows (each keypoint
-    samples its own layer — OpenCV calcOrientationHist operates on the
-    keypoint's layer; the round-1 shared-plane shortcut cost orientation
-    accuracy, PARITY.md). ucx/ucy: (Q,) in-patch center coords; scl:
-    (Q,) scale in octave coords. Sampling is an axis-aligned separable
-    grid -> two batched matmuls per gradient plane, no gathers.
+    gxp/gyp: (Q, Py, Px) in-patch gradients of each keypoint's own
+    Gaussian layer (each keypoint samples its own layer — OpenCV
+    calcOrientationHist operates on the keypoint's layer; the round-1
+    shared-plane shortcut cost orientation accuracy, PARITY.md).
+    Gradients are computed ONCE per octave by the caller and shared with
+    _descriptor (round-5 advisor fix: they were recomputed in both).
+    ucx/ucy: (Q,) in-patch center coords; scl: (Q,) scale in octave
+    coords. Sampling is an axis-aligned separable grid -> two batched
+    matmuls per gradient plane, no gathers.
 
     Returns (theta1, theta2, has2): the dominant orientation and, when a
     second local histogram peak reaches 80% of the max (OpenCV
     SIFT_ORI_PEAK_RATIO), a secondary orientation that becomes an extra
     keypoint — cv2.SIFT emits one keypoint per qualifying peak.
     """
-    q, P = patches.shape[0], patches.shape[1]
+    q, Py, Px = gxp.shape
     g = _ORI_GRID
     lin = (jnp.arange(g) - (g - 1) / 2.0) / ((g - 1) / 2.0)  # [-1, 1]
     gy_, gx_ = jnp.meshgrid(lin, lin, indexing="ij")
     radius = 3.0 * 1.5 * scl                                   # (Q,)
     ux = ucx[:, None] + lin[None, :] * radius[:, None]         # (Q, g)
     uy = ucy[:, None] + lin[None, :] * radius[:, None]
-    gxp, gyp = _patch_grads(patches)
-    Wx = _sep_weights(ux, P)
-    Wy = _sep_weights(uy, P)
+    Wx = _sep_weights(ux, Px)
+    Wy = _sep_weights(uy, Py)
     vx = _patch_sample(gxp, Wy, Wx)                            # (Q, g, g)
     vy = _patch_sample(gyp, Wy, Wx)
 
@@ -494,11 +499,12 @@ def _orientation(patches, ucx, ucy, scl, valid):
     return theta1, theta2, has2
 
 
-def _descriptor(patches, ucx, ucy, scl, theta):
+def _descriptor(gxp, gyp, ucx, ucy, scl, theta):
     """4x4x8 SIFT descriptor from an AXIS-ALIGNED sample grid with
     ROTATED bin coordinates.
 
-    patches: (Q, P, P) Gaussian-layer windows; ucx/ucy: (Q,) in-patch
+    gxp/gyp: (Q, Py, Px) in-patch gradients (shared with _orientation —
+    computed once per octave by the caller); ucx/ucy: (Q,) in-patch
     centers. The grid half-width equals the rotated bin square's
     circumradius (OpenCV's radius), so the axis-aligned square contains
     the whole rotated window; samples landing outside the bin range are
@@ -508,7 +514,7 @@ def _descriptor(patches, ucx, ucy, scl, theta):
     matmuls, no gathers (the rotated-grid version's random bilinear
     gathers were 88% of detect on TPU).
     """
-    q, P = patches.shape[0], patches.shape[1]
+    q, Py, Px = gxp.shape
     g = _DESC_GRID
     d = _DESC_D
     # window half-width = 3 * scl * (d+1)/2 * sqrt(2) (OpenCV geometry)
@@ -519,9 +525,8 @@ def _descriptor(patches, ucx, ucy, scl, theta):
     gy_, gx_ = jnp.meshgrid(lin, lin, indexing="ij")
     ux = ucx[:, None] + lin[None, :] * radius[:, None]   # (Q, g)
     uy = ucy[:, None] + lin[None, :] * radius[:, None]
-    gxp, gyp = _patch_grads(patches)
-    Wx = _sep_weights(ux, P)
-    Wy = _sep_weights(uy, P)
+    Wx = _sep_weights(ux, Px)
+    Wy = _sep_weights(uy, Py)
     vx = _patch_sample(gxp, Wy, Wx)                      # (Q, g, g)
     vy = _patch_sample(gyp, Wy, Wx)
     mag = jnp.sqrt(vx * vx + vy * vy)
@@ -599,9 +604,9 @@ def sift_detect_and_describe(img, cfg: SiftConfig = SiftConfig(),
     Returns the same static-shape dict contract as ORB, with "desc"
     (max_kpts, 128) float32 instead of binary "bits".
 
-    select: extrema-quota selection mode ("approx" = lax.approx_max_k,
-    TPU-fast, exact on CPU; "exact" = full-sort lax.top_k) — static, see
-    _detect_octave.
+    select: extrema-quota selection mode ("exact" = full-sort lax.top_k,
+    the default — approx_max_k MEASURED 1.7x slower on TPU at these
+    shapes; "approx" = lax.approx_max_k) — static, see _detect_octave.
     """
     x = img.astype(jnp.float32) / 255.0
     h0, w0 = img.shape
@@ -648,12 +653,15 @@ def sift_detect_and_describe(img, cfg: SiftConfig = SiftConfig(),
         # the same patch.
         gstack = jnp.stack([gauss[k] for k in range(1, _S + 1)], axis=0)
         li = jnp.clip(kint - 1, 0, _S - 1)
-        P = min(80, oh, ow)
-        patches, px0, py0 = _extract_patches(gstack, li, xy, P)
+        Py, Px = min(80, oh), min(80, ow)
+        patches, px0, py0 = _extract_patches(gstack, li, xy, Py, Px)
         ucx = xy[:, 0] - px0.astype(jnp.float32)
         ucy = xy[:, 1] - py0.astype(jnp.float32)
+        # gradients once per octave, shared by orientation + descriptor
+        gxp, gyp = _patch_grads(patches)
 
-        theta1, theta2, has2 = _orientation(patches, ucx, ucy, scl, valid)
+        theta1, theta2, has2 = _orientation(gxp, gyp, ucx, ucy, scl,
+                                            valid)
 
         # secondary-orientation expansion (cv2 emits one keypoint per
         # histogram peak >= 0.8*max), then re-select the octave's static
@@ -678,9 +686,10 @@ def sift_detect_and_describe(img, cfg: SiftConfig = SiftConfig(),
         valid = sel_score > 0.0
         scores = sel_score
 
-        # primary and secondary share the source keypoint's patch
+        # primary and secondary share the source keypoint's gradients
         pidx = sel % q0
-        desc = _descriptor(patches[pidx], ucx[pidx], ucy[pidx], scl, theta)
+        desc = _descriptor(gxp[pidx], gyp[pidx], ucx[pidx], ucy[pidx],
+                           scl, theta)
 
         oct_scale = base_scale * (2.0 ** o)
         outs.append({

@@ -57,6 +57,12 @@ def sequence_parser(description: str, default_step: int,
                         "reference's nfeatures=4000/nlevels=12; see "
                         "docs/API.md 'Profiles' for measured speed/accuracy"
                         " trade-offs)")
+    p.add_argument("--feature", choices=["ORB", "SIFT"], default="ORB",
+                   help="Feature family (reference pipeline.py:32 "
+                        "feature_method). SIFT switches matching to L2 "
+                        "with the reference's crossCheck semantics "
+                        "(pose_estimator.py:115-131); profiles/extract-cap "
+                        "are ORB-only knobs and are ignored under SIFT")
     p.add_argument("--extract-cap", type=int, default=None,
                    help="Extraction slots per 8-row atlas band (multiple "
                         "of 4; default: the profile's cap, 24 at parity). "

@@ -26,8 +26,8 @@ def main(argv=None):
         gt_filename="camera_poses.txt",
         calibration_file=None,  # scaled default intrinsics
         results_dir=results_dir,
-        feature_method="ORB",
-        norm_type="Hamming",
+        feature_method=args.feature,
+        norm_type="Hamming" if args.feature == "ORB" else "L2",
         max_matches=500,
         euler_convention="yup",  # simulator uses YUP convention
         mesh=make_mesh(args.devices),

@@ -29,8 +29,8 @@ def main(argv=None):
         gt_filename="camera_poses_zyx.txt",
         camera_matrix=K,
         results_dir=results_dir,
-        feature_method="ORB",
-        norm_type="Hamming",
+        feature_method=args.feature,
+        norm_type="Hamming" if args.feature == "ORB" else "L2",
         max_matches=500,
         euler_convention="zyx",  # dataset uses ZYX convention
         mesh=make_mesh(args.devices),

@@ -263,7 +263,8 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31,
                 atlas, blurred, tbl_x0, _rel_y, interpret=_interp,
                 nbody=extract_nbody(),
                 diet=kernel_gate("RPE_EXTRACT_T_BRIEF_V4"),
-                sparse=kernel_gate("RPE_EXTRACT_T_SPARSE"))
+                sparse=kernel_gate("RPE_EXTRACT_T_SPARSE"),
+                quad=kernel_gate("RPE_EXTRACT_T_QUAD"))
             return {
                 "patches_raw": None,
                 "patches_blur": None,

@@ -507,6 +507,122 @@ def _extract_t_brief_kernel_v4(quant, nbody, *refs):
     m01_ref[0, 0] = jnp.stack(m01s)
 
 
+def _brief_bits_from_patch(blur_t, ca, sa, patx_ref, paty_ref, rows32,
+                           quant):
+    """One slot's 256 steered-BRIEF bits from its transposed blurred patch
+    (the v3 kernel's sampling chain verbatim, factored out so the quad
+    kernel reuses it bit-for-bit). ca/sa: scalar cos/sin of the IC angle;
+    returns (1, 256) f32 0/1."""
+    vals = []
+    for j in range(2):
+        px = patx_ref[j: j + 1, :]                       # (1, 256)
+        py = paty_ref[j: j + 1, :]
+        rx = px * ca - py * sa
+        ry_ = px * sa + py * ca
+        ix = jnp.clip(jnp.round(rx).astype(jnp.int32) + PATCH_R,
+                      0, 2 * PATCH_R)
+        iy = jnp.clip(jnp.round(ry_).astype(jnp.int32) + PATCH_R,
+                      0, 2 * PATCH_R)
+        uoh = (rows32 == ix).astype(jnp.float32)         # (_PP, 256)
+        voh = (rows32 == iy).astype(jnp.float32)
+        q = jnp.dot(blur_t, voh,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # (_PP, 256)
+        v = jnp.sum(uoh * q, axis=0, keepdims=True)
+        vals.append(jnp.round(v) if quant else v)
+    return (vals[0] < vals[1]).astype(jnp.float32)
+
+
+def _extract_t_brief_kernel_quad(quant, nbody, *refs):
+    # v6 "quad" kernel (round 5): slots processed FOUR at a time with the
+    # row/plane selection done by ONE block-structured one-hot MXU matmul
+    # per quad instead of 16 masked 32-lane slice-FMAs per slot. The v3
+    # slot loop is VPU-issue bound (docs/PERF_LOG.md round 4: ~260 ns/slot
+    # with diet v4 and predication v5 both rejected); its per-slot ops run
+    # 32-lane tiles at 25% lane utilization. Here:
+    #   1. four slots' column windows are concatenated into XS4 (128, 128)
+    #      — four dynamic sublane slices, full 128-lane rows;
+    #   2. one (128,128)@(128,256) dot against a block one-hot RB selects
+    #      each slot's raw rows (cols 0:128) and blur rows (cols 128:256)
+    #      at its own in-plane offset off_q = 8j + ry_q. HIGHEST makes the
+    #      selection exact (one nonzero per column), so the diagonal
+    #      blocks equal the v3 masked-accumulate results BIT-FOR-BIT;
+    #      off-diagonal blocks (slot q's rows at slot q''s columns) are
+    #      discarded by the static diagonal slicing.
+    #   3. moments + steered BRIEF run the v3 per-slot chain verbatim on
+    #      the diagonal blocks (same shapes, same reduction orders).
+    # Parked slots carry rel_y <= -1, so off_q + v stays negative and
+    # their one-hot columns are all-zero -> zero patches, zero moments,
+    # zero bits — exactly the v3 contract. Requires cap % 4 == 0 (already
+    # the banded_extract contract), so a quad never spans bands.
+    np_ = 2 * (nbody + 4)
+    planes = refs[:np_]
+    x0_ref, ry_ref, mu_ref, mv_ref, patx_ref, paty_ref = refs[np_:np_ + 6]
+    bits_ref, m10_ref, m01_ref, wt_ref = refs[np_ + 6:]
+    cap = x0_ref.shape[2] // nbody   # slots per band (static block shape)
+
+    nrows = 2 * (8 * nbody + WIN - BAND)
+    w = jnp.concatenate([p[:] for p in planes], axis=0)
+    if nrows < 128:
+        w = jnp.concatenate(
+            [w, jnp.zeros((128 - nrows, w.shape[1]), w.dtype)], axis=0)
+    wtp = jnp.transpose(w)
+    wt_ref[:] = jnp.concatenate(
+        [wtp, jnp.zeros((BAND, wtp.shape[1]), wtp.dtype)], axis=0)
+    mu = mu_ref[:]
+    mv = mv_ref[:]
+    blur_base = 8 * nbody + WIN - BAND
+    rows32 = jax.lax.broadcasted_iota(jnp.int32, (_PP, 256), 0)
+
+    # static pieces of the RB one-hot's column-offset vector:
+    # target[l? given column n]: n in [0,128) raw block, [128,256) blur.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+    qsel = (lane // 32) % 4                      # quad-member of column n
+    vbase = (lane % 32) + jnp.where(lane >= 128, blur_base, 0)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (128, 256), 0)
+
+    bits, m10s, m01s = [], [], []
+    for j in range(nbody):
+        for g in range(cap // 4):
+            idx0 = j * cap + 4 * g
+            xs4 = jnp.concatenate(
+                [wt_ref[pl.ds(x0_ref[0, 0, idx0 + q], _PP), :]
+                 for q in range(4)], axis=0)                 # (128, 128)
+            # offv[n] = off_q(n) + v(n) (+ blur_base on the blur half);
+            # parked slots (ry < 0) take a -1000 sentinel so offv stays
+            # negative on BOTH halves for any j/v -> all-zero columns
+            # (ry=-31 alone is not enough: 8j + ry + blur_base + v can
+            # reach a live lane at j >= 1)
+            offv = vbase
+            for q in range(4):
+                ryq = ry_ref[0, 0, idx0 + q]
+                offq = jnp.where(ryq >= 0, 8 * j + ryq, -1000)
+                offv = offv + jnp.where(qsel == q, offq, 0)
+            rb = (sub == offv).astype(jnp.float32)           # (128, 256)
+            out = jnp.dot(xs4, rb, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+            for q in range(4):
+                raw_t = jax.lax.slice(
+                    out, (32 * q, 32 * q), (32 * q + _PP, 32 * q + _PP))
+                blur_t = jax.lax.slice(
+                    out, (32 * q, 128 + 32 * q),
+                    (32 * q + _PP, 128 + 32 * q + _PP))
+                m10 = jnp.sum(raw_t * mu)
+                m01 = jnp.sum(raw_t * mv)
+                m10s.append(m10)
+                m01s.append(m01)
+                # cos/sin by normalization — identical chain to v3
+                r_ = jnp.sqrt(m10 * m10 + m01 * m01)
+                rsafe = jnp.where(r_ > 0.0, r_, 1.0)
+                ca = jnp.where(r_ > 0.0, m10 / rsafe, 1.0)
+                sa = jnp.where(r_ > 0.0, m01 / rsafe, 0.0)
+                bits.append(_brief_bits_from_patch(
+                    blur_t, ca, sa, patx_ref, paty_ref, rows32, quant))
+    bits_ref[0] = jnp.concatenate(bits, axis=0)         # (nbody*CAP, 256)
+    m10_ref[0, 0] = jnp.stack(m10s)
+    m01_ref[0, 0] = jnp.stack(m01s)
+
+
 def _extract_t_brief_kernel_sparse(quant, nbody, *refs):
     # v5 "occupancy-predicated" kernel (round 4): the v3 math verbatim,
     # but every slot body is wrapped in @pl.when(ryc >= 0) — parked slots
@@ -600,13 +716,14 @@ def _extract_t_brief_kernel_sparse(quant, nbody, *refs):
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "quant", "nbody", "diet",
-                                    "sparse"))
+                                    "sparse", "quad"))
 def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
                             interpret: bool = False,
                             quant: bool | None = None,
                             nbody: int = 1,
                             diet: bool = False,
-                            sparse: bool = False):
+                            sparse: bool = False,
+                            quad: bool = False):
     """Transposed extraction with IC moments AND steered BRIEF in-kernel.
 
     Same inputs as `extract_windows_t`; returns (bits, m10, m01) with
@@ -623,7 +740,10 @@ def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
     `sparse`: route through _extract_t_brief_kernel_sparse (bit-identical
     occupancy predication — RPE_EXTRACT_T_SPARSE at the atlas call site;
     requires parked slots to carry rel_y < 0, which
-    atlas.banded_extract guarantees)."""
+    atlas.banded_extract guarantees).
+    `quad`: route through _extract_t_brief_kernel_quad (bit-identical
+    4-slot MXU row-select — RPE_EXTRACT_T_QUAD at the atlas call site;
+    round-5 layout experiment targeting the VPU-issue slot-loop floor)."""
     import os
 
     from .orb import _ic_angle_masks, brief_pattern
@@ -656,7 +776,10 @@ def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
             lambda b, q=q: (jnp.minimum(b * nbody + q, nb - 1), 0),
             memory_space=pltpu.VMEM)
 
-    if sparse:
+    if quad:
+        assert cap % 4 == 0, f"quad kernel needs cap % 4 == 0, got {cap}"
+        kfn = _extract_t_brief_kernel_quad
+    elif sparse:
         kfn = _extract_t_brief_kernel_sparse
     elif diet:
         kfn = _extract_t_brief_kernel_v4

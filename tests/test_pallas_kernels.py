@@ -534,6 +534,57 @@ def test_extract_t_brief_sparse_bit_identical(nbody, quant):
         parked.reshape(-1)].any()
 
 
+@pytest.mark.parametrize("nbody", [1, 4])
+@pytest.mark.parametrize("quant", [False, True])
+def test_extract_t_brief_quad_bit_identical(nbody, quant):
+    """_extract_t_brief_kernel_quad (v6: 4-slot MXU block one-hot
+    row-select instead of per-slot masked slice-FMAs) vs the v3 kernel.
+
+    The selected patch VALUES are exact (single-nonzero one-hot columns
+    at HIGHEST), but the IC moment reduction `jnp.sum(raw_t * mu)` fuses
+    with a different producer graph, and XLA-CPU's vectorizer then picks
+    a different f32 accumulation order: moments differ at reassociation
+    level (~3e-7 of the term-magnitude sum — measured 0.24 absolute on
+    |m|~3000 with ~7e5 term mass), which flips BRIEF bits only where the
+    ULP-shifted angle crosses a round() boundary (3/79872 = 0.004%
+    measured). So this test asserts VALUE correctness: moments allclose
+    at reassociation tolerance, bits >= 99.9% agreement, parked slots
+    exact zeros (the -1000 offset sentinel — 8j + ry + blur_base + v can
+    reach a live lane at j >= 1 without it). Whether Mosaic's on-chip
+    reduction is producer-independent (=> full 1.00000 bit-agreement) is
+    decided by the hardware validation gate, which for this family is
+    bit-agreement > 0.999 + pose parity."""
+    from rpe_tpu.ops.atlas import BAND, CAP
+    from rpe_tpu.ops.extract_pallas import extract_windows_t_brief
+
+    rng = np.random.default_rng(77 + nbody)
+    nb, wp, patch = 13, 256, 31
+    ha = nb * BAND
+    atlas = rng.uniform(0, 255, (ha, wp)).astype(np.float32)
+    blurred = rng.uniform(0, 255, (ha, wp)).astype(np.float32)
+    tbl_x0 = rng.integers(0, wp - patch + 1, (nb, CAP)).astype(np.int32)
+    tbl_x0[0, 0] = wp - patch          # right-edge slice must stay exact
+    rel_y = rng.integers(0, BAND, (nb, CAP)).astype(np.int32)
+    parked = rng.uniform(size=(nb, CAP)) < 0.5
+    parked[0, 0] = False               # keep the edge-slice slot live
+    rel_y = np.where(parked, -31, rel_y).astype(np.int32)
+    tbl_x0 = np.where(parked, 0, tbl_x0).astype(np.int32)
+    args = (jnp.asarray(atlas), jnp.asarray(blurred),
+            jnp.asarray(tbl_x0), jnp.asarray(rel_y))
+
+    base = extract_windows_t_brief(*args, interpret=True, nbody=nbody,
+                                   quant=quant)
+    out = extract_windows_t_brief(*args, interpret=True, nbody=nbody,
+                                  quant=quant, quad=True)
+    agree = float(np.mean(np.asarray(base[0]) == np.asarray(out[0])))
+    assert agree >= 0.999, f"bit agreement {agree}"
+    for a, b in zip(base[1:], out[1:]):      # m10, m01
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=2.0)
+    assert not np.asarray(out[0]).reshape(nb * CAP, 256)[
+        parked.reshape(-1)].any()
+
+
 @pytest.mark.parametrize("nbody", [2, 4])
 def test_extract_t_nbody_bit_identical(nbody):
     """nbody > 1 (one VMEM transpose serving nbody bands,

@@ -29,7 +29,7 @@ import jax.numpy as jnp  # noqa: E402
 # against itself.
 for _g in ("RPE_PALLAS_5PT", "RPE_PALLAS_EXTRACT", "RPE_PALLAS_MATCH",
            "RPE_EXTRACT_T", "RPE_EXTRACT_T_BRIEF", "RPE_EXTRACT_MOMENTS",
-           "RPE_EXTRACT_T_SPARSE"):
+           "RPE_EXTRACT_T_SPARSE", "RPE_EXTRACT_T_QUAD"):
     os.environ[_g] = "0"
 
 # RPE_VALIDATE_SMOKE=1: tiny shapes on the CPU backend — exercises every
@@ -52,7 +52,8 @@ ONLY = os.environ.get("RPE_VALIDATE_ONLY")
 ONLY = {s.strip() for s in ONLY.split(",") if s.strip()} if ONLY else None
 if ONLY and ONLY & {"EXTRACT", "MOMENTS", "EXTRACT_T3", "T_BRIEF3",
                     "T_BRIEF3_NB2", "T_BRIEF3_NB4", "T_BRIEF4",
-                    "T_BRIEF4_NB4", "T_SPARSE", "T_SPARSE_NB4"}:
+                    "T_BRIEF4_NB4", "T_SPARSE", "T_SPARSE_NB4",
+                    "T_QUAD", "T_QUAD_NB4"}:
     ONLY.add("DETECT_BASE")  # extract variants parity-check against it
 
 
@@ -308,6 +309,20 @@ _variant_section("T_SPARSE_NB4", {"RPE_EXTRACT_T": "1",
                                   "RPE_EXTRACT_T_BRIEF": "1",
                                   "RPE_EXTRACT_T_SPARSE": "1",
                                   "RPE_EXTRACT_T_NBODY": "4"},
+                 kernel_fn="extract_windows_t_brief")
+# v6 quad (round 5): 4-slot MXU block one-hot row-select. Patch VALUES
+# exact by construction; the IC moment reduction may reassociate vs the
+# v3 masked-accumulate producer (interpret-mode measured 0.004% bit
+# flips), so the family gate is the standard >0.999 + the CSV-AB pose
+# surface. If Mosaic's reduce is producer-independent this reads 1.00000.
+_variant_section("T_QUAD", {"RPE_EXTRACT_T": "1",
+                            "RPE_EXTRACT_T_BRIEF": "1",
+                            "RPE_EXTRACT_T_QUAD": "1"},
+                 kernel_fn="extract_windows_t_brief")
+_variant_section("T_QUAD_NB4", {"RPE_EXTRACT_T": "1",
+                                "RPE_EXTRACT_T_BRIEF": "1",
+                                "RPE_EXTRACT_T_QUAD": "1",
+                                "RPE_EXTRACT_T_NBODY": "4"},
                  kernel_fn="extract_windows_t_brief")
 
 

@@ -78,6 +78,14 @@ class RansacConfig:
     # (cv2.findEssentialMat has no degeneracy handling, reference
     # src/core/pose_estimator.py:522-527). False restores plain
     # count+cheirality selection.
+    lo: bool = False              # LO-RANSAC local optimization (round 5,
+    # verdict #7): threshold-annealed (4x->2x->1.4x->1x) weighted-8pt
+    # ladder on the winner accepted by truncated MSAC loss, run before
+    # the plain refit rounds — merges the per-seed minimal-sample basins
+    # that spread 29/80 salah pairs > 1 deg across seeds. Opt-in until
+    # the TPU golden/seed-sweep A/B adopts it (flipping it changes every
+    # committed golden). No reference counterpart: cv2.findEssentialMat
+    # has no polish at all (src/core/pose_estimator.py:522-527).
     zero_motion_px: float = 0.5   # static-pair gate: when the MEDIAN pixel
     # flow over valid matches is below this, the pair is declared
     # zero-motion and R=I, t=[0,0,1] is returned instead of the essential

@@ -61,7 +61,7 @@ def _gather_sample(pts, idx):
 
 @partial(jax.jit,
          static_argnames=("num_hypotheses", "refit_rounds", "solver",
-                          "degensac"))
+                          "degensac", "lo"))
 def ransac_essential(
     key,
     pts1_n,
@@ -72,6 +72,7 @@ def ransac_essential(
     refit_rounds: int = 2,
     solver: str = "8pt",
     degensac: bool = False,
+    lo: bool = False,
 ):
     """Batched-hypothesis essential matrix RANSAC.
 
@@ -84,6 +85,18 @@ def ransac_essential(
         (pixel_threshold / mean_focal, matching OpenCV's rescaling).
       num_hypotheses: static hypothesis batch size.
       refit_rounds: least-squares refits on the winning inlier set.
+      lo: LO-RANSAC local optimization (Lebeda/Chum/Matas, BMVC 2012
+        "Fixing the Locally Optimized RANSAC"): a threshold-ANNEALED
+        ladder of weighted refits (multipliers 4x -> 2x -> 1.4x -> 1x of
+        the inlier threshold) accepted on truncated MSAC loss at the
+        FINAL threshold instead of raw inlier count. Annealing first
+        pulls near-inliers into the fit so different minimal-sample
+        starts descend into the same basin — the per-seed pose spread
+        shrinker (round-4 verdict #7: 29/80 salah pairs spread > 1 deg
+        across seeds). Runs BEFORE the plain refit rounds; no reference
+        counterpart (cv2.findEssentialMat has no polish at all,
+        src/core/pose_estimator.py:522-527 — documented-stronger
+        deviation, PARITY.md).
 
     Returns dict with:
       E: (3, 3) best essential matrix (projected to the essential manifold)
@@ -162,6 +175,62 @@ def ransac_essential(
 
     E_best = E_h[best]
     inlier_mask = inliers_h[best]
+
+    if lo:
+        # Inner resampling (the "LO" in LO-RANSAC): 8 non-minimal
+        # (16-point) samples drawn from the winner's inlier set give
+        # alternative least-squares starts — the escape hatch from a
+        # locally-optimal wrong basin that pure descent (the ladder
+        # below) cannot leave. Candidates compete with the winner on
+        # truncated MSAC loss; degenerate samples produce high-loss
+        # models and lose automatically.
+        vmask_f = valid_mask.astype(pts1_n.dtype)
+        kin = jax.random.fold_in(key, 11)
+        in_idx = sample_minimal_indices(kin, inlier_mask, 8,
+                                        sample_size=16)      # (8, 16)
+        w_in = jnp.zeros((8, n), pts1_n.dtype).at[
+            jnp.arange(8)[:, None], in_idx].set(1.0)
+        w_in = w_in * vmask_f[None, :]
+        E_in = jax.vmap(
+            lambda w: eight_point(pts1_n, pts2_n, weights=w))(w_in)
+        E_in, _, _ = project_to_essential(E_in)
+        E_cand = jnp.concatenate([E_best[None], E_in], axis=0)  # (9,3,3)
+        d2_cand = sampson_error_sq(E_cand, pts1_n[None], pts2_n[None])
+        d2_cand = jnp.where(jnp.isfinite(d2_cand), d2_cand, thr2)
+        loss_cand = jnp.sum(jnp.minimum(d2_cand, thr2) * vmask_f[None, :],
+                            axis=-1)
+        ci = jnp.argmin(loss_cand)
+        E_best = E_cand[ci]
+
+        # LO ladder: weighted 8pt at annealed thresholds, accepted on
+        # truncated MSAC loss at the FINAL threshold (count plateaus are
+        # exactly where seeds wander; the truncated loss is strictly
+        # finer). The 4x start pulls near-inliers into the normal matrix
+        # so distinct minimal-sample basins merge before the final
+        # tight-threshold rounds.
+        def lo_step(carry, mult):
+            E_cur, loss_cur = carry
+            d2c = sampson_error_sq(E_cur, pts1_n, pts2_n)
+            d2c = jnp.where(jnp.isfinite(d2c), d2c, thr2 * mult)
+            w = ((d2c < thr2 * mult) & valid_mask).astype(pts1_n.dtype)
+            enough = jnp.sum(w) >= 8
+            E_new = eight_point(pts1_n, pts2_n, weights=w)
+            E_new, _, _ = project_to_essential(E_new)
+            d2n = sampson_error_sq(E_new, pts1_n, pts2_n)
+            d2n = jnp.where(jnp.isfinite(d2n), d2n, thr2)
+            loss_new = jnp.sum(jnp.minimum(d2n, thr2)
+                               * valid_mask.astype(pts1_n.dtype))
+            take = enough & (loss_new <= loss_cur)
+            E_out = jnp.where(take, E_new, E_cur)
+            return (E_out, jnp.where(take, loss_new, loss_cur)), None
+
+        loss0 = loss_cand[ci]
+        (E_best, _), _ = jax.lax.scan(
+            lo_step, (E_best, loss0),
+            jnp.asarray([4.0, 2.0, 1.4142135, 1.0], pts1_n.dtype))
+        d2b = sampson_error_sq(E_best, pts1_n, pts2_n)
+        d2b = jnp.where(jnp.isfinite(d2b), d2b, thr2)
+        inlier_mask = (d2b < thr2) & valid_mask
 
     def refit(carry, _):
         E_cur, mask_cur = carry

@@ -142,6 +142,7 @@ def _match_to_pose(det1, det2, K, key, cfg: EstimatorConfig):
             refit_rounds=cfg.ransac.refit_rounds,
             solver=cfg.ransac.solver,
             degensac=cfg.ransac.degensac,
+            lo=cfg.ransac.lo,
         )
         R, t, votes, _ = recover_pose(r["E"], n1, n2, mvalid,
                                       inlier_mask=r["inlier_mask"])

@@ -146,3 +146,38 @@ def test_recover_pose_matches_opencv(rng):
     assert float(rotation_error(R, jnp.asarray(R_cv))) < 0.1
     cos = float(jnp.dot(t, jnp.asarray(t_cv.flatten(), dtype=jnp.float32)))
     assert cos > 0.999
+
+
+def test_lo_ransac_shrinks_seed_spread():
+    """LO-RANSAC (ransac.py `lo=True`: annealed weighted-refit ladder,
+    truncated-MSAC acceptance) must (a) tighten the across-seed rotation
+    spread on a noisy scene with few hypotheses — the regime where the
+    winning minimal sample varies per seed (round-4 verdict #7: salah
+    seed variance) — and (b) never hurt mean accuracy. Few hypotheses +
+    high noise on purpose: with enough hypotheses both variants converge
+    and the test would be vacuous."""
+    rng = np.random.default_rng(7)
+    p1, p2, R_gt, t_gt = synth_scene(rng, n=200, noise=0.8,
+                                     outlier_frac=0.3)
+    n1 = normalize_points(jnp.asarray(p1), jnp.asarray(K))
+    n2 = normalize_points(jnp.asarray(p2), jnp.asarray(K))
+    valid = jnp.ones(p1.shape[0], dtype=bool)
+    thr_n = 1.0 / (0.5 * (K[0, 0] + K[1, 1]))
+
+    def errs(lo):
+        out = []
+        for seed in range(8):
+            r = ransac_essential(jax.random.PRNGKey(seed), n1, n2, valid,
+                                 thr_n, num_hypotheses=64, lo=lo)
+            R, t, _, _ = recover_pose(r["E"], n1, n2, r["inlier_mask"])
+            out.append(float(rotation_error(R, jnp.asarray(R_gt))))
+        return np.asarray(out)
+
+    base = errs(False)
+    lo = errs(True)
+    # (a) spread: worst-case across seeds must not grow, and the spread
+    # (max-min) must shrink or stay within 10%
+    assert lo.max() <= base.max() + 1e-6, (base, lo)
+    assert (lo.max() - lo.min()) <= (base.max() - base.min()) * 1.1 + 1e-3
+    # (b) accuracy: mean error no worse than base + tiny slack
+    assert lo.mean() <= base.mean() + 0.02, (base.mean(), lo.mean())

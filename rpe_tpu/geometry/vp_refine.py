@@ -83,13 +83,17 @@ def manhattan_dirs_for_frames_device(frames, K, cfg: VpConfig,
     frames = np.asarray(frames, dtype=np.float32)
     Kj = jnp.asarray(K, jnp.float32)
 
-    def one(im):
+    def one(args):
+        im, seed = args
         segs, valid = detect_line_segments_device(
             im, max_segments=max_segments)
-        D, ok, st = _dirs_from_lines_device(segs, valid, Kj, cfg)
+        D, ok, st = _dirs_from_lines_device(segs, valid, Kj, cfg,
+                                            rng_seed=seed)
         return D, ok, st["acc_max"], st["vp2_score"], st["num_lines"]
 
-    D, ok, acc, vp2, nl = jax.lax.map(one, jnp.asarray(frames))
+    seeds = jnp.arange(frames.shape[0], dtype=jnp.uint32)  # host twin
+    # seeds each frame with its index (manhattan_dirs_for_frames)
+    D, ok, acc, vp2, nl = jax.lax.map(one, (jnp.asarray(frames), seeds))
     D, ok, acc, vp2, nl = (np.asarray(a) for a in (D, ok, acc, vp2, nl))
     out = []
     for f in range(frames.shape[0]):
@@ -315,7 +319,8 @@ def optimize_rotation_from_vps_jit(R_init, Delta_cam, D_world,
     return R
 
 
-def _dirs_from_lines_device(segs, seg_valid, K, cfg: VpConfig):
+def _dirs_from_lines_device(segs, seg_valid, K, cfg: VpConfig,
+                            rng_seed=0):
     """Device-resident twin of `_dirs_from_lines` (jittable).
 
     segs: (M, 4) f32, seg_valid: (M,) bool (from
@@ -323,14 +328,21 @@ def _dirs_from_lines_device(segs, seg_valid, K, cfg: VpConfig):
     bool scalar, stats dict of jnp scalars {acc_max, vp2_score,
     num_lines}).
 
-    DOCUMENTED DEVIATION from the host twin (behavioral parity, PARITY.md):
-    when the pair count exceeds cfg.max_pairs the reference samples
-    max_pairs random line pairs (pose_estimator.py:311-318); this path
-    votes ALL pairs of the top-`max_lines` lines and rescales the
-    accumulator by the reference's expected kept-sample fraction, so
-    acc_max / vp2_score match the reference's gates in expectation with
-    strictly lower variance — and the program stays deterministic (no
-    PRNG key threading).
+    Sampling regime (round 5, verdict #6): when the pair count exceeds
+    cfg.max_pairs this now reproduces the reference's WITH-REPLACEMENT
+    pair sampling (pose_estimator.py:311-318) with a counter-based
+    device PRNG keyed on `rng_seed` (a traced scalar — the frame index,
+    matching the host twin's np.random.default_rng(rng_seed)). The
+    max-bin statistics acc_max / vp2_score are extreme-value statistics
+    of the SAMPLED vote, so the reference-calibrated gates (acc_min,
+    vp2_min) see the same distribution by construction — the previous
+    all-pairs + expectation-rescale deviation undercounted the max bin
+    3-100x on heavy-tailed line-length weights (PARITY.md round-4
+    measurement) and is gone. Draws differ from numpy's PRNG, so
+    per-frame statistics agree in distribution, not bit-for-bit; the
+    VP_DEVICE validation section gates on per-frame gate DECISIONS.
+    Below max_pairs the exhaustive triu enumeration is identical to the
+    host twin (rtol 2e-4, tested).
     """
     import jax
     import jax.numpy as jnp
@@ -357,39 +369,51 @@ def _dirs_from_lines_device(segs, seg_valid, K, cfg: VpConfig):
     hl = jnp.cross(p1, p2)
     hl = hl / (jnp.linalg.norm(hl[:, :2], axis=1, keepdims=True) + 1e-12)
 
-    ii, jj = np.triu_indices(L, k=1)
-    ii = jnp.asarray(ii)
-    jj = jnp.asarray(jj)
-    pair_ok = lvalid[ii] & lvalid[jj]
-
-    vp = jnp.cross(hl[ii], hl[jj])
-    finite = jnp.abs(vp[:, 2]) >= 1e-9
-    vp_xy = vp[:, :2] / jnp.where(finite[:, None], vp[:, 2:3], 1.0)
-
-    theta = jnp.abs(angles[ii] - angles[jj])
-    theta = jnp.abs((theta + jnp.pi) % (2 * jnp.pi) - jnp.pi)
-    wt = lens[ii] * lens[jj] * jnp.abs(jnp.sin(2.0 * theta))
-    wt = jnp.where(pair_ok & finite, wt, 0.0)
-
-    # reference sampling-budget rescale (see docstring)
-    mv = jnp.maximum(num_lines.astype(jnp.float32), 2.0)
-    mv = jnp.minimum(mv, float(L))
-    tv = mv * (mv - 1.0) / 2.0
-    expected_kept = cfg.max_pairs * (1.0 - 1.0 / mv)
-    wt = wt * jnp.where(tv > cfg.max_pairs, expected_kept / tv, 1.0)
-
     Kinv = jnp.linalg.inv(Kj)
-    v = jnp.concatenate([vp_xy, jnp.ones((vp_xy.shape[0], 1), jnp.float32)],
-                        axis=1) @ Kinv.T
-    v = v / (jnp.linalg.norm(v, axis=1, keepdims=True) + 1e-12)
-    v = jnp.where(v[:, 2:3] < 0, -v, v)
 
-    lat = jnp.rad2deg(jnp.arctan2(jnp.hypot(v[:, 0], v[:, 1]), v[:, 2]))
-    lon = (jnp.rad2deg(jnp.arctan2(v[:, 1], v[:, 0])) + 360.0) % 360.0
-    lat_i = jnp.clip(lat, 0, _N_LAT - 1).astype(jnp.int32)
-    lon_i = jnp.clip(lon, 0, _N_LON - 1).astype(jnp.int32)
+    def vote(ii, jj, pair_ok):
+        """(lat_i, lon_i, wt) for index vectors ii/jj (host-twin math)."""
+        vp = jnp.cross(hl[ii], hl[jj])
+        finite = jnp.abs(vp[:, 2]) >= 1e-9
+        vp_xy = vp[:, :2] / jnp.where(finite[:, None], vp[:, 2:3], 1.0)
+        theta = jnp.abs(angles[ii] - angles[jj])
+        theta = jnp.abs((theta + jnp.pi) % (2 * jnp.pi) - jnp.pi)
+        wt = lens[ii] * lens[jj] * jnp.abs(jnp.sin(2.0 * theta))
+        wt = jnp.where(pair_ok & finite, wt, 0.0)
+        v = jnp.concatenate(
+            [vp_xy, jnp.ones((vp_xy.shape[0], 1), jnp.float32)],
+            axis=1) @ Kinv.T
+        v = v / (jnp.linalg.norm(v, axis=1, keepdims=True) + 1e-12)
+        v = jnp.where(v[:, 2:3] < 0, -v, v)
+        lat = jnp.rad2deg(jnp.arctan2(jnp.hypot(v[:, 0], v[:, 1]), v[:, 2]))
+        lon = (jnp.rad2deg(jnp.arctan2(v[:, 1], v[:, 0])) + 360.0) % 360.0
+        lat_i = jnp.clip(lat, 0, _N_LAT - 1).astype(jnp.int32)
+        lon_i = jnp.clip(lon, 0, _N_LON - 1).astype(jnp.int32)
+        return lat_i, lon_i, wt
 
-    acc = jnp.zeros((_N_LAT, _N_LON), jnp.float32).at[lat_i, lon_i].add(wt)
+    # exhaustive regime (total pairs <= max_pairs): all triu pairs
+    ii_a, jj_a = np.triu_indices(L, k=1)
+    ii_a = jnp.asarray(ii_a)
+    jj_a = jnp.asarray(jj_a)
+    la, lo, wa = vote(ii_a, jj_a, lvalid[ii_a] & lvalid[jj_a])
+
+    # sampled regime: max_pairs with-replacement draws over the live
+    # lines (i == j draws dropped — reference :311-318 keeps the rest,
+    # duplicates included: they legitimately inflate the max bin)
+    mv_i = jnp.clip(num_lines, 2, L)          # live lines after top-L cut
+    key = jax.random.PRNGKey(jnp.asarray(rng_seed, jnp.uint32))
+    ka, kb = jax.random.split(key)
+    P = int(cfg.max_pairs)
+    a = jax.random.randint(ka, (P,), 0, mv_i)
+    b = jax.random.randint(kb, (P,), 0, mv_i)
+    ls, os_, ws = vote(a, b, (a != b) & lvalid[a] & lvalid[b])
+
+    tv = mv_i * (mv_i - 1) // 2
+    use_sampled = tv > P
+    wa = jnp.where(use_sampled, 0.0, wa)
+    ws = jnp.where(use_sampled, ws, 0.0)
+    acc = jnp.zeros((_N_LAT, _N_LON), jnp.float32).at[la, lo].add(wa)
+    acc = acc.at[ls, os_].add(ws)
     acc_max = jnp.max(acc)
 
     amax = jnp.argmax(acc)
@@ -436,15 +460,17 @@ def _dirs_from_lines_device(segs, seg_valid, K, cfg: VpConfig):
 
 
 def estimate_manhattan_dirs_device(gray, K, cfg: VpConfig,
-                                   max_segments: int = 256):
+                                   max_segments: int = 256,
+                                   rng_seed=0):
     """Jittable Manhattan-direction extraction (device twin of
     `estimate_manhattan_dirs`): LSD labeling -> segment reduction ->
-    all-pairs voting, one XLA program."""
+    voting (sampled above cfg.max_pairs, seeded by `rng_seed` like the
+    host twin), one XLA program."""
     from ..ops.lsd import detect_line_segments_device
 
     segs, valid = detect_line_segments_device(gray,
                                               max_segments=max_segments)
-    return _dirs_from_lines_device(segs, valid, K, cfg)
+    return _dirs_from_lines_device(segs, valid, K, cfg, rng_seed=rng_seed)
 
 
 def vp_cost_jit(R_iw, Delta_cam, D_world):
@@ -485,9 +511,9 @@ def refine_rotation_with_vps_device(img1, img2, R_prev, R_rel, K,
     R_new_init = jnp.matmul(R_prev, R_rel, precision=_hi)
 
     Delta_prev, ok1, st1 = estimate_manhattan_dirs_device(
-        img1, K, cfg, max_segments=max_segments)
+        img1, K, cfg, max_segments=max_segments, rng_seed=0)
     Delta_new, ok2, st2 = estimate_manhattan_dirs_device(
-        img2, K, cfg, max_segments=max_segments)
+        img2, K, cfg, max_segments=max_segments, rng_seed=1)
 
     good1 = ok1 & (st1["acc_max"] >= cfg.acc_min) \
         & (st1["vp2_score"] >= cfg.vp2_min)

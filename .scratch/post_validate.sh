@@ -35,13 +35,14 @@ fi
 # v4 slot diet: REJECTED (interleaved A/B measured ~7% slower than v3,
 # docs/PERF_LOG.md round 4) — never adopt, PASS markers notwithstanding
 export RPE_EXTRACT_T_BRIEF_V4=0
-# v5 occupancy-predicated brief kernel (default-off, bit-identical):
-# adopt on PASS
-if grep -qE "^T_SPARSE(_NB4)? PASS" "$LOG" 2>/dev/null; then
-  export RPE_EXTRACT_T_SPARSE=1
-else
-  export RPE_EXTRACT_T_SPARSE=0
-fi
+# v5 occupancy-predicated brief kernel: REJECTED (interleaved A/B measured
+# ~2-3% slower than v3, docs/PERF_LOG.md round 4) — never adopt on PASS
+# (a PASS marker proves correctness, never speed)
+export RPE_EXTRACT_T_SPARSE=0
+# v6 quad kernel (round 5): default-off until its interleaved A/B
+# (.scratch/tpu_quad_ab.py) records a win; adoption is a CODE default
+# flip, not a marker export
+export RPE_EXTRACT_T_QUAD=0
 # device-resident VP voting: REJECTED for default (round 4 measured: gate
 # max-statistics mismatch + 3.4x slower through the tunnel) — only ever
 # enabled by its own hardware PASS

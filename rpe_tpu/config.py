@@ -117,6 +117,14 @@ class EstimatorConfig:
     matcher: MatcherConfig = MatcherConfig()
     ransac: RansacConfig = RansacConfig()
     vp: VpConfig = VpConfig()
+    # Inlier-collapse fallback (round 5, verdict #9): when a work-cut
+    # profile leaves a pair with < fallback_min_inliers inliers (or
+    # invalid), the batch pipeline re-estimates JUST that pair at the
+    # named stronger profile (pipeline/batch.py). 0 / None disables —
+    # parity never falls back. The reference has no analogue (a failed
+    # pair aborts the whole run, src/core/pose_estimator.py:529-530).
+    fallback_profile: str | None = None
+    fallback_min_inliers: int = 0
 
 
 # ORB work-cut profiles (opt-in; CLI --profile / bench.py --profile).
@@ -145,10 +153,18 @@ _PROFILES = {
     # 128 minimal samples ~ OpenCV's adaptive iteration count at a ~55%
     # inlier ratio (prob 0.999), so low-texture pairs lose oversampling
     # margin; measured accuracy per dataset in docs/API.md "Profiles".
+    # orb512's speed cuts leave ~3 catastrophic pairs on the sim
+    # low-texture stretch (frames 630-750, docs/API.md "Profiles");
+    # inlier collapse there is detectable, so those pairs re-run at
+    # orb1000 host-side (pipeline/batch.py fallback; threshold from the
+    # stretch's measured inlier counts — healthy orb512 pairs average
+    # ~170 inliers, the catastrophic ones collapse below ~25).
     "orb512": {"orb": {"nfeatures": 512, "nlevels": 4, "max_kpts": 512,
                        "extract_cap": 12},
                "matcher": {"max_matches": 256},
-               "ransac": {"num_hypotheses": 128}},
+               "ransac": {"num_hypotheses": 128},
+               "fallback_profile": "orb1000",
+               "fallback_min_inliers": 25},
 }
 
 PROFILE_NAMES = tuple(_PROFILES)
@@ -162,6 +178,7 @@ def profile_config(name: str = "parity",
             f"Unknown profile {name!r}; choose from {PROFILE_NAMES}")
     cfg = base if base is not None else EstimatorConfig()
     for field, over in _PROFILES[name].items():
-        cfg = dataclasses.replace(
-            cfg, **{field: dataclasses.replace(getattr(cfg, field), **over)})
+        if isinstance(over, dict):
+            over = dataclasses.replace(getattr(cfg, field), **over)
+        cfg = dataclasses.replace(cfg, **{field: over})
     return cfg

@@ -130,8 +130,10 @@ class BatchProcessor:
         t_out = np.zeros((n_pairs, 3), dtype=np.float64)
         valid_out = np.zeros((n_pairs,), dtype=bool)
         nm_out = np.zeros((n_pairs,), dtype=np.int64)
+        ni_out = np.zeros((n_pairs,), dtype=np.int64)
 
-        done = self._load_checkpoint(frames, R_out, t_out, valid_out, nm_out)
+        done = self._load_checkpoint(frames, R_out, t_out, valid_out,
+                                     nm_out, ni_out)
 
         from ..utils.observability import ThroughputMeter
 
@@ -195,9 +197,10 @@ class BatchProcessor:
             t_out[start:end] = np.asarray(out["t"])[:n]
             valid_out[start:end] = np.asarray(out["valid"])[:n]
             nm_out[start:end] = np.asarray(out["num_matches"])[:n]
+            ni_out[start:end] = np.asarray(out["num_inliers"])[:n]
             meter.lap(pairs=n)
             self._append_checkpoint(frames, range(start, end),
-                                    R_out, t_out, valid_out, nm_out)
+                                    R_out, t_out, valid_out, nm_out, ni_out)
 
         # One chunk kept IN FLIGHT: dispatch chunk c+1 (async) before
         # blocking on chunk c's outputs, so the per-dispatch tunnel RTT
@@ -218,6 +221,51 @@ class BatchProcessor:
             prev = (start, end, out)
         if prev is not None:
             _flush(prev)
+
+        # Inlier-collapse fallback (config.EstimatorConfig.fallback_*,
+        # round-5 verdict #9): pairs the work-cut profile could not hold
+        # (invalid, or inliers below the profile's collapse threshold)
+        # are re-estimated at the configured stronger profile. Scattered
+        # pairs, so the pairs-batched program (not the sequence one) runs
+        # them in ONE padded fixed-shape dispatch.
+        if (cfg.fallback_profile and cfg.fallback_min_inliers > 0
+                and starts):
+            bad = np.where((~valid_out)
+                           | (ni_out < cfg.fallback_min_inliers))[0]
+            if bad.size:
+                from ..config import profile_config
+                from .estimator import estimate_pairs_batched
+
+                fcfg = profile_config(cfg.fallback_profile)
+                FB = 8  # fixed fallback batch shape (one compile)
+                print(f"[INFO] Fallback: re-running {bad.size} collapsed "
+                      f"pair(s) at profile {cfg.fallback_profile} "
+                      f"(inliers < {cfg.fallback_min_inliers})")
+                for s in range(0, bad.size, FB):
+                    idxs = bad[s:s + FB]
+                    sel = list(idxs) + [int(idxs[-1])] * (FB - len(idxs))
+                    i1 = jnp.asarray(imgs[[i for i in sel]])
+                    i2 = jnp.asarray(imgs[[i + 1 for i in sel]])
+                    fkeys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(
+                        [self.seed + i for i in sel], dtype=jnp.uint32))
+                    fout = estimate_pairs_batched(i1, i2, K, fkeys,
+                                                  cfg=fcfg)
+                    fR = np.asarray(fout["R"])
+                    ft = np.asarray(fout["t"])
+                    fv = np.asarray(fout["valid"])
+                    fnm = np.asarray(fout["num_matches"])
+                    fni = np.asarray(fout["num_inliers"])
+                    for j, i in enumerate(idxs):
+                        # adopt only a strictly healthier answer: valid
+                        # and more inliers than the collapsed one
+                        if fv[j] and fni[j] > ni_out[i]:
+                            R_out[i] = fR[j]
+                            t_out[i] = ft[j]
+                            valid_out[i] = True
+                            nm_out[i] = fnm[j]
+                            ni_out[i] = fni[j]
+                self._append_checkpoint(frames, list(bad), R_out, t_out,
+                                        valid_out, nm_out, ni_out)
         meter.stop(pairs=n_pairs)
         pps = meter.pairs_per_sec_per_chip()
         steady = meter.steady_pairs_per_sec_per_chip()
@@ -228,7 +276,8 @@ class BatchProcessor:
                   f"({meter.pairs} pairs incl. compile{extra})")
         return R_out, t_out, valid_out, nm_out
 
-    def _load_checkpoint(self, frames, R_out, t_out, valid_out, nm_out):
+    def _load_checkpoint(self, frames, R_out, t_out, valid_out, nm_out,
+                         ni_out):
         """Restore completed pairs from the jsonl checkpoint; returns the set
         of completed pair indices. Entries whose frame list does not match
         are ignored (stale checkpoints from a different run config)."""
@@ -273,6 +322,9 @@ class BatchProcessor:
             t_out[i] = np.array(rec["t"])
             valid_out[i] = bool(rec["valid"])
             nm_out[i] = int(rec["num_matches"])
+            # records predating the num_inliers field must not re-trigger
+            # the inlier-collapse fallback on resume
+            ni_out[i] = int(rec.get("num_inliers", 10 ** 6))
             done.add(i)
         if done:
             print(f"[INFO] Resumed {len(done)} pairs from checkpoint "
@@ -280,7 +332,7 @@ class BatchProcessor:
         return done
 
     def _append_checkpoint(self, frames, pair_range, R_out, t_out,
-                           valid_out, nm_out):
+                           valid_out, nm_out, ni_out):
         if self.checkpoint_path is None:
             return
         import json
@@ -298,6 +350,7 @@ class BatchProcessor:
                     "t": t_out[i].tolist(),
                     "valid": bool(valid_out[i]),
                     "num_matches": int(nm_out[i]),
+                    "num_inliers": int(ni_out[i]),
                 }) + "\n")
 
     def estimate_relative_poses(self, frames, imgs):

@@ -175,3 +175,49 @@ def test_zero_motion_gate_does_not_fire_on_real_motion(pair):
                         jax.random.PRNGKey(3), cfg=cfg)
     assert bool(out["valid"])
     assert not np.allclose(np.asarray(out["R"]), np.eye(3))
+
+
+@pytest.mark.slow
+def test_sift_pair_end_to_end_vs_opencv(pair):
+    """feature_method='SIFT' through the fused estimator (detect -> L2
+    crossCheck match -> 5pt RANSAC -> recoverPose) on a real pair,
+    parity-checked against the cv2.SIFT reference chain
+    (src/core/pose_estimator.py:93-94, :115-131). Covers the round-5
+    --feature SIFT sequence-runner path at the estimator level (reduced
+    shapes: CPU budget)."""
+    import dataclasses
+
+    from rpe_tpu.config import SiftConfig
+
+    img1, img2, K = pair
+    h, w = img1.shape
+    a = cv2.resize(img1, (w // 2, h // 2), interpolation=cv2.INTER_AREA)
+    b = cv2.resize(img2, (w // 2, h // 2), interpolation=cv2.INTER_AREA)
+    Ks = K.copy()
+    Ks[:2] *= 0.5
+    Ks[2, 2] = 1.0
+
+    cfg = EstimatorConfig(
+        feature_method="SIFT",
+        sift=SiftConfig(nfeatures=1024, noctaves=4, max_kpts=1024),
+        matcher=MatcherConfig(norm_type="l2", cross_check=True,
+                              max_matches=500),
+    )
+    out = estimate_pair(jnp.asarray(a, jnp.float32),
+                        jnp.asarray(b, jnp.float32),
+                        jnp.asarray(Ks, jnp.float32),
+                        jax.random.PRNGKey(0), cfg=cfg)
+    assert bool(out["valid"])
+
+    sift = cv2.SIFT_create(nfeatures=1024)
+    kp1, d1 = sift.detectAndCompute(a, None)
+    kp2, d2 = sift.detectAndCompute(b, None)
+    bf = cv2.BFMatcher(cv2.NORM_L2, crossCheck=True)
+    ms = sorted(bf.match(d1, d2), key=lambda m: m.distance)[:500]
+    p1 = np.float32([kp1[m.queryIdx].pt for m in ms])
+    p2 = np.float32([kp2[m.trainIdx].pt for m in ms])
+    E, _ = cv2.findEssentialMat(p1, p2, Ks, method=cv2.RANSAC,
+                                prob=0.999, threshold=1.0)
+    _, R_cv, _, _ = cv2.recoverPose(E, p1, p2, Ks)
+    delta = float(rotation_error(out["R"], jnp.asarray(R_cv)))
+    assert delta < 2.0, f"SIFT pose delta vs cv2: {delta} deg"

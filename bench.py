@@ -438,6 +438,8 @@ _FAIL_MARKER_GATES = (
     ("T_BRIEF3_NB4 FAILED", "RPE_EXTRACT_T_NBODY"),
     ("T_BRIEF3_NB2 FAILED", "RPE_EXTRACT_T_NBODY"),
     ("T_SPARSE FAILED", "RPE_EXTRACT_T_SPARSE"),
+    ("T_QUAD FAILED", "RPE_EXTRACT_T_QUAD"),
+    ("T_QUAD_NB4 FAILED", "RPE_EXTRACT_T_QUAD"),
 )
 
 

@@ -27,6 +27,14 @@ class OrbConfig:
     # (.scratch/cap_occupancy_lab.py has measured drop/cap tables).
     # Must be a multiple of 4.
     extract_cap: int | None = None
+    # Extraction band row height (8/16/32; ops/atlas.banded_extract
+    # `band`). Wider bands POOL slot capacity so clustered rows borrow
+    # slots from sparse neighbors (round-5 pooled banding): the same
+    # keypoint drop rate needs fewer total slots = less extraction time
+    # (.scratch/pooled_occupancy_lab.py sizing tables; adoption per the
+    # interleaved hardware A/B in docs/PERF_LOG.md round 5). extract_cap
+    # is interpreted PER BAND of this height.
+    band: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

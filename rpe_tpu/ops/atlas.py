@@ -32,8 +32,12 @@ def atlas_layout(h: int, w: int, nlevels: int, scale_factor: float):
         offsets.append((row, lh, lw))
         row += lh + GAP
     wp = -(-w // 128) * 128
-    # pad rows so banded extraction windows stay in bounds
-    total = -(-row // 8) * 8 + 48
+    # pad rows so banded extraction windows stay in bounds for EVERY
+    # legal band width (8/16/32): total divisible by 32 with >= 48 dead
+    # rows at the bottom. (Round 5: was -(-row // 8) * 8 + 48 — the
+    # value-identical change adds <= 40 all-parked pad rows, which carry
+    # no keypoints and extract nothing.)
+    total = -(-row // 32) * 32 + 64
     return tuple(offsets), total, wp
 
 
@@ -142,27 +146,40 @@ def gaussian_blur_rolled(img, ksize: int = 7, sigma: float = 2.0):
 # Banded patch extraction: one-hot einsum instead of gathers
 # ---------------------------------------------------------------------------
 
-BAND = 8        # keypoint-center rows per band
-CAP = 24        # max keypoints per band (overflow -> dropped + invalidated)
-WIN = 40        # window rows per band (>= BAND + patch 31)
+# Default banding geometry. `band` is a RUNTIME knob of banded_extract
+# (OrbConfig.band; valid values 8/16/32): round-5 pooled banding — the
+# extraction slot loop costs ~260 ns/slot regardless of per-slot work
+# (v4/v5/v6 all rejected, docs/PERF_LOG.md), so slot COUNT is the only
+# dial, and wider bands pool slot capacity over several 8-row bands:
+# clustered rows borrow slots from sparse neighbors, so the same drop
+# rate needs FEWER total slots (.scratch/pooled_occupancy_lab.py sizes
+# caps per dataset). The Pallas transpose packing needs band*nbody <= 32
+# (ops/fast.extract_nbody clamps).
+BAND = 8         # default keypoint-center rows per band
+CAP = 24         # default max keypoints per 8-row band (scales with band)
+WIN = BAND + 32  # window rows per band (>= band + patch 31)
 
 
 def banded_extract(atlas, blurred, xy, valid, patch: int = 31,
-                   cap: int | None = None):
+                   cap: int | None = None, band: int | None = None):
     """Extract `patch` x `patch` windows around xy from both atlases.
 
-    atlas/blurred: (HA, WP) with HA % BAND == 0. xy: (K, 2) float (x, y)
+    atlas/blurred: (HA, WP) with HA % band == 0. xy: (K, 2) float (x, y)
     atlas coords (integer-valued); valid: (K,) bool.
 
     Returns (patches_raw, patches_blur, valid_out): (K, patch, patch) x2 —
     keypoints beyond a band's `cap` slots are zeroed and invalidated.
-    `cap` (default CAP=24) sets the slots per 8-row band: the extraction
-    stage costs ~NB*cap slots of VPU work (~260 ns each on v5e,
-    docs/PERF_LOG.md round 4), while too small a cap drops clustered
-    keypoints — measured drop rates per dataset/cap are in
-    .scratch/cap_occupancy_lab.py output (e.g. 480x640 frames drop ~8%
-    at cap 24 but ~3.5% at 32; 1080p frames drop ~0% down to cap 20).
-    Must be a multiple of 4 (Pallas lane alignment: cap*32 % 128).
+    `band` (default BAND=8; 8/16/32) sets the band row height — wider
+    bands POOL slot capacity so clustered rows borrow slots from sparse
+    neighbors (round-5 pooled banding; sizing tables in
+    .scratch/pooled_occupancy_lab.py). `cap` (default CAP=24 scaled by
+    band/8) sets the slots per band: the extraction stage costs
+    ~NB*cap slots of VPU work (~260 ns each on v5e, docs/PERF_LOG.md
+    round 4), while too small a cap drops clustered keypoints — measured
+    drop rates per dataset/cap are in .scratch/cap_occupancy_lab.py
+    output (e.g. 480x640 frames drop ~8% at cap 24 but ~3.5% at 32;
+    1080p frames drop ~0% down to cap 20). Must be a multiple of 4
+    (Pallas lane alignment: cap*32 % 128).
 
     Method: keypoints are bucketed by y-band (sorted once); band windows
     are *reshape views* of the atlas (no gather); per band-chunk the row and
@@ -170,16 +187,19 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31,
     primitives anywhere.
     """
     ha, wp = atlas.shape
-    nb = ha // BAND
+    band_rows = BAND if band is None else int(band)
+    assert band_rows in (8, 16, 32), f"band must be 8/16/32, got {band}"
+    win = band_rows + 32
+    nb = ha // band_rows
     k = xy.shape[0]
     r = patch // 2
-    cap = CAP if cap is None else int(cap)
+    cap = CAP * band_rows // 8 if cap is None else int(cap)
     assert cap % 4 == 0 and cap > 0, (
         f"cap must be a positive multiple of 4, got {cap}")
 
     x0 = jnp.clip(xy[:, 0].astype(jnp.int32) - r, 0, wp - patch)
     y0 = jnp.clip(xy[:, 1].astype(jnp.int32) - r, 0, ha - patch)
-    band = jnp.clip(y0 // BAND, 0, nb - 1)
+    band = jnp.clip(y0 // band_rows, 0, nb - 1)
     band = jnp.where(valid, band, nb - 1)  # park invalid kpts in last band
 
     order = jnp.argsort(band)                                 # (K,)
@@ -191,8 +211,15 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31,
     keep = pos < cap
     slot = jnp.clip(pos, 0, cap - 1)
 
-    # scatter sorted keypoints into (NB, CAP) tables
-    flat = band_sorted * cap + slot
+    # scatter sorted keypoints into (NB, CAP) tables. Dropped keypoints
+    # (pos >= cap) are routed to the out-of-bounds sentinel nb*cap so
+    # mode="drop" discards their writes — BEFORE round 5 they aliased
+    # the band's LAST slot (clip to cap-1) and clobbered its rightful
+    # keypoint's table entry with used=False: one valid-but-zero-
+    # descriptor keypoint per over-full band, whose all-zero bits
+    # cross-matched other poisoned keypoints at Hamming distance 0
+    # (measured: 2 poisoned kpts on a 320x128 crop at nfeatures=512).
+    flat = jnp.where(keep, band_sorted * cap + slot, nb * cap)
     tbl_x0 = jnp.zeros((nb * cap,), jnp.int32).at[flat].set(
         jnp.take(x0, order), mode="drop")
     tbl_y0 = jnp.zeros((nb * cap,), jnp.int32).at[flat].set(
@@ -207,10 +234,11 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31,
     # atlas[(b + q) * BAND + s, :], q < WIN // BAND
     def windows(a):
         qs = []
-        for q in range(WIN // BAND):
+        for q in range(win // band_rows):
             sl = jax.lax.dynamic_slice_in_dim(
-                jnp.pad(a, ((0, WIN), (0, 0))), q * BAND, nb * BAND, axis=0)
-            qs.append(sl.reshape(nb, BAND, wp))
+                jnp.pad(a, ((0, win), (0, 0))), q * band_rows,
+                nb * band_rows, axis=0)
+            qs.append(sl.reshape(nb, band_rows, wp))
         return jnp.concatenate(qs, axis=1)                    # (NB, WIN, WP)
 
     win_raw = windows(atlas)
@@ -225,7 +253,7 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31,
     # a real x0=0 patch in band 0 and SHIFTED rows in bands 1-3 on the XLA
     # path only; all dead values, masked downstream, but the sparse kernel
     # needs rel_y < 0 as its skip predicate, so make it uniform.)
-    _band_base = (jnp.arange(nb) * BAND)[:, None]             # (NB, 1)
+    _band_base = (jnp.arange(nb) * band_rows)[:, None]        # (NB, 1)
     _rel_y = jnp.where(tbl_used, tbl_y0 - _band_base, -31)    # (NB, CAP)
 
     import os
@@ -261,7 +289,7 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31,
 
             bits, m10, m01 = extract_windows_t_brief(
                 atlas, blurred, tbl_x0, _rel_y, interpret=_interp,
-                nbody=extract_nbody(),
+                band=band_rows, nbody=extract_nbody(band_rows),
                 diet=kernel_gate("RPE_EXTRACT_T_BRIEF_V4"),
                 sparse=kernel_gate("RPE_EXTRACT_T_SPARSE"),
                 quad=kernel_gate("RPE_EXTRACT_T_QUAD"))
@@ -286,7 +314,7 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31,
 
             blurp_t, m10, m01 = extract_windows_t(
                 atlas, blurred, tbl_x0, _rel_y, interpret=_interp,
-                nbody=extract_nbody())
+                band=band_rows, nbody=extract_nbody(band_rows))
             blur_t = blurp_t[:, :, :patch, :patch].reshape(
                 nb * cap, patch, patch)
             return {
@@ -333,7 +361,7 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31,
         }
 
     lane = jnp.arange(wp)
-    row = jnp.arange(WIN)
+    row = jnp.arange(win)
     pj = jnp.arange(patch)
     rel_y = _rel_y                                            # (NB, CAP)
 
@@ -371,7 +399,7 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31,
         t = jnp.einsum("bvx,bxm->bvm", wcat, col,
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
-        t = t.reshape(wr.shape[0], 2, WIN, cap, patch)
+        t = t.reshape(wr.shape[0], 2, win, cap, patch)
 
         def sel_rows(tw):
             # rows: (NBC, CAP, patch_i, patch_j)
@@ -388,8 +416,8 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31,
     def padb(a):
         return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
 
-    wr_c = padb(win_raw).reshape(-1, nbc, WIN, wp)
-    wb_c = padb(win_blur).reshape(-1, nbc, WIN, wp)
+    wr_c = padb(win_raw).reshape(-1, nbc, win, wp)
+    wb_c = padb(win_blur).reshape(-1, nbc, win, wp)
     x0_c = padb(tbl_x0).reshape(-1, nbc, cap)
     ry_c = padb(rel_y).reshape(-1, nbc, cap)
 

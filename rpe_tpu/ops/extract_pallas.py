@@ -45,6 +45,8 @@ def _extract_kernel(win_ref, x0v_ref, ry_ref, raw_ref, blur_ref):
     #          SMEM blocks with non-trivial windows too)
     wp = win_ref.shape[2]
     cap = ry_ref.shape[2]            # slots per band (static block shape)
+    win = win_ref.shape[1] // 2      # band + 32 (runtime band knob)
+    band = win - 32
     w = win_ref[0]                                       # (2*WIN, WP)
     x0v = x0v_ref[0, 0]                                  # (CAP*_PP,)
     rows = jax.lax.broadcasted_iota(jnp.int32, (wp, cap * _PP), 0)
@@ -66,12 +68,12 @@ def _extract_kernel(win_ref, x0v_ref, ry_ref, raw_ref, blur_ref):
         ry = ry_ref[0, 0, c]
         raw = jnp.zeros((_PP, _PP), jnp.float32)
         blur = jnp.zeros((_PP, _PP), jnp.float32)
-        for r in range(BAND):
+        for r in range(band):
             sel = (ry == r).astype(jnp.float32)
             raw = raw + sel * jax.lax.slice(
                 t, (r, c * _PP), (r + _PP, (c + 1) * _PP))
             blur = blur + sel * jax.lax.slice(
-                t, (WIN + r, c * _PP), (WIN + r + _PP, (c + 1) * _PP))
+                t, (win + r, c * _PP), (win + r + _PP, (c + 1) * _PP))
         raws.append(raw)
         blurs.append(blur)
     raw_ref[0] = jnp.concatenate(raws, axis=1)
@@ -87,6 +89,8 @@ def _extract_moments_kernel(win_ref, x0v_ref, mu_ref, mv_ref, ry_ref,
     # so this saves a 66 MB write + 66 MB read per image at bench shape.
     wp = win_ref.shape[2]
     cap = ry_ref.shape[2]            # slots per band (static block shape)
+    win = win_ref.shape[1] // 2      # band + 32 (runtime band knob)
+    band = win - 32
     w = win_ref[0]                                       # (2*WIN, WP)
     x0v = x0v_ref[0, 0]                                  # (CAP*_PP,)
     rows = jax.lax.broadcasted_iota(jnp.int32, (wp, cap * _PP), 0)
@@ -105,12 +109,12 @@ def _extract_moments_kernel(win_ref, x0v_ref, mu_ref, mv_ref, ry_ref,
         ry = ry_ref[0, 0, c]
         raw = jnp.zeros((_PP, _PP), jnp.float32)
         blur = jnp.zeros((_PP, _PP), jnp.float32)
-        for r in range(BAND):
+        for r in range(band):
             sel = (ry == r).astype(jnp.float32)
             raw = raw + sel * jax.lax.slice(
                 t, (r, c * _PP), (r + _PP, (c + 1) * _PP))
             blur = blur + sel * jax.lax.slice(
-                t, (WIN + r, c * _PP), (WIN + r + _PP, (c + 1) * _PP))
+                t, (win + r, c * _PP), (win + r + _PP, (c + 1) * _PP))
         blurs.append(blur)
         m10s.append(jnp.sum(raw * mu))
         m01s.append(jnp.sum(raw * mv))
@@ -153,7 +157,7 @@ def extract_windows_moments(win_raw, win_blur, tbl_x0, rel_y,
         ),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, 2 * WIN, wp), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, wcat.shape[1], wp), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, cap * _PP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -179,7 +183,7 @@ def extract_windows_moments(win_raw, win_blur, tbl_x0, rel_y,
 
 
 def _t_extract_slots(planes, x0_ref, ry_ref, mu_ref, mv_ref, wt_ref,
-                     nbody: int = 1):
+                     nbody: int = 1, band: int = 8):
     """Shared transposed-extraction body of _extract_t_kernel and
     _extract_t_brief_kernel (kept in ONE place: this is the trickiest
     VMEM-layout code in the repo — pad-to-128 before the transpose, edge
@@ -215,7 +219,7 @@ def _t_extract_slots(planes, x0_ref, ry_ref, mu_ref, mv_ref, wt_ref,
     moment scalars.
     """
     cap = x0_ref.shape[2] // nbody   # slots per band (static block shape)
-    nrows = 2 * (8 * nbody + WIN - BAND)         # raw + blur plane rows
+    nrows = 2 * (band * nbody + 32)         # raw + blur plane rows
     w = jnp.concatenate([p[:] for p in planes], axis=0)
     # pad rows to 128 before transposing: Mosaic lowers f32 transposes
     # most reliably when the resulting LANE dim is a 128-multiple (the
@@ -229,10 +233,10 @@ def _t_extract_slots(planes, x0_ref, ry_ref, mu_ref, mv_ref, wt_ref,
     # through VMEM scratch because Mosaic only supports dynamic (pl.ds)
     # slicing on refs, not on values
     wt_ref[:] = jnp.concatenate(
-        [wt, jnp.zeros((BAND, wt.shape[1]), wt.dtype)], axis=0)
+        [wt, jnp.zeros((band, wt.shape[1]), wt.dtype)], axis=0)
     mu = mu_ref[:]                                           # (_PP, _PP) m.T
     mv = mv_ref[:]
-    blur_base = 8 * nbody + WIN - BAND           # first blur-plane lane
+    blur_base = band * nbody + 32           # first blur-plane lane
     blurs, m10s, m01s = [], [], []
     for j in range(nbody):
         for c in range(cap):
@@ -245,29 +249,30 @@ def _t_extract_slots(planes, x0_ref, ry_ref, mu_ref, mv_ref, wt_ref,
             # exactly one r matches; masked multiply-accumulate (scalar-
             # pred selects lower less uniformly than fma across Mosaic
             # versions)
-            for r in range(BAND):
+            for r in range(band):
                 sel = (ryc == r).astype(jnp.float32)
                 raw_t = raw_t + sel * jax.lax.slice(
-                    xs, (0, 8 * j + r), (_PP, 8 * j + r + _PP))
+                    xs, (0, band * j + r), (_PP, band * j + r + _PP))
                 blur_t = blur_t + sel * jax.lax.slice(
-                    xs, (0, blur_base + 8 * j + r),
-                    (_PP, blur_base + 8 * j + r + _PP))
+                    xs, (0, blur_base + band * j + r),
+                    (_PP, blur_base + band * j + r + _PP))
             blurs.append(blur_t)
             m10s.append(jnp.sum(raw_t * mu))
             m01s.append(jnp.sum(raw_t * mv))
     return blurs, m10s, m01s
 
 
-def _extract_t_kernel(nbody, *refs):
+def _extract_t_kernel(nbody, band, *refs):
     # v2 kernel: transposed extraction + in-kernel IC moments (see
     # _t_extract_slots for the layout details). refs: 2*(nbody+4) plane
     # blocks, 4 tables, 3 outputs, 1 scratch.
-    np_ = 2 * (nbody + 4)
+    np_ = 2 * (nbody + 32 // band)
     planes = refs[:np_]
     x0_ref, ry_ref, mu_ref, mv_ref = refs[np_:np_ + 4]
     blur_ref, m10_ref, m01_ref, wt_ref = refs[np_ + 4:]
     blurs, m10s, m01s = _t_extract_slots(
-        planes, x0_ref, ry_ref, mu_ref, mv_ref, wt_ref, nbody=nbody)
+        planes, x0_ref, ry_ref, mu_ref, mv_ref, wt_ref, nbody=nbody,
+        band=band)
     blur_ref[0] = jnp.concatenate(blurs, axis=1)
     m10_ref[0, 0] = jnp.stack(m10s)
     m01_ref[0, 0] = jnp.stack(m01s)
@@ -286,9 +291,10 @@ def _pad_tables(tbl_x0, rel_y, nb, nbody):
     return (g, x0.reshape(g, 1, nbody * cap), ry.reshape(g, 1, nbody * cap))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "nbody"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "nbody", "band"))
 def extract_windows_t(atlas, blurred, tbl_x0, rel_y, interpret: bool = False,
-                      nbody: int = 1):
+                      nbody: int = 1, band: int | None = None):
     """Transposed zero-FLOP extraction: (blur_t, m10, m01) from the atlases.
 
     atlas/blurred: (HA, WP) with HA % BAND == 0 and >= 40 dead pad rows at
@@ -305,10 +311,12 @@ def extract_windows_t(atlas, blurred, tbl_x0, rel_y, interpret: bool = False,
     see _t_extract_slots v2.1)."""
     from .orb import _ic_angle_masks
 
+    band = BAND if band is None else int(band)
+    assert band * nbody <= 32, (band, nbody)
     ha, wp = atlas.shape
-    nb = ha // BAND
+    nb = ha // band
     cap = tbl_x0.shape[1]            # slots per band (static)
-    nq = nbody + 4                               # blocks per plane
+    nq = nbody + 32 // band                      # blocks per plane
 
     mask_np, us_np, vs_np = _ic_angle_masks()
     mu_t = jnp.asarray(np.pad(mask_np * us_np, ((0, 1), (0, 1))).T)
@@ -317,12 +325,12 @@ def extract_windows_t(atlas, blurred, tbl_x0, rel_y, interpret: bool = False,
 
     def _block(q):
         return pl.BlockSpec(
-            (BAND, wp),
+            (band, wp),
             lambda b, q=q: (jnp.minimum(b * nbody + q, nb - 1), 0),
             memory_space=pltpu.VMEM)
 
     blur, m10, m01 = pl.pallas_call(
-        functools.partial(_extract_t_kernel, nbody),
+        functools.partial(_extract_t_kernel, nbody, band),
         out_shape=(
             jax.ShapeDtypeStruct((g, _PP, nbody * cap * _PP), jnp.float32),
             jax.ShapeDtypeStruct((g, 1, nbody * cap), jnp.float32),
@@ -354,7 +362,7 @@ def extract_windows_t(atlas, blurred, tbl_x0, rel_y, interpret: bool = False,
             pl.BlockSpec((1, 1, nbody * cap), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((wp + BAND, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((wp + band, 128), jnp.float32)],
         interpret=interpret,
     )(*([atlas] * nq + [blurred] * nq + [x0_g, ry_g, mu_t, mv_t]))
     blur = blur.reshape(g, _PP, nbody, cap, _PP).transpose(0, 2, 3, 1, 4)
@@ -363,7 +371,7 @@ def extract_windows_t(atlas, blurred, tbl_x0, rel_y, interpret: bool = False,
             m01.reshape(g * nbody, cap)[:nb])
 
 
-def _extract_t_brief_kernel(quant, nbody, *refs):
+def _extract_t_brief_kernel(quant, nbody, band, *refs):
     # v3 kernel: _extract_t_kernel + steered BRIEF in-kernel. The blurred
     # patches never reach HBM: per slot, the IC rotation (cos/sin) is
     # derived from the in-kernel moments by normalization (no atan2 —
@@ -377,13 +385,14 @@ def _extract_t_brief_kernel(quant, nbody, *refs):
     # patx/paty: (2, 256) f32 — pattern point j's x/y per pair lane.
     # refs: 2*(nbody+4) plane blocks, 6 tables, 3 outputs, 1 scratch
     # (nbody: bands per grid step, see _t_extract_slots v2.1).
-    np_ = 2 * (nbody + 4)
+    np_ = 2 * (nbody + 32 // band)
     planes = refs[:np_]
     x0_ref, ry_ref, mu_ref, mv_ref, patx_ref, paty_ref = refs[np_:np_ + 6]
     bits_ref, m10_ref, m01_ref, wt_ref = refs[np_ + 6:]
     cap = x0_ref.shape[2] // nbody   # slots per band (static block shape)
     blurs, m10s, m01s = _t_extract_slots(
-        planes, x0_ref, ry_ref, mu_ref, mv_ref, wt_ref, nbody=nbody)
+        planes, x0_ref, ry_ref, mu_ref, mv_ref, wt_ref, nbody=nbody,
+        band=band)
     m10v = jnp.stack(m10s)[None, :]                          # (1, nbody*CAP)
     m01v = jnp.stack(m01s)[None, :]
     # cos/sin of atan2(m01, m10) by direct normalization — Mosaic has no
@@ -425,7 +434,7 @@ def _extract_t_brief_kernel(quant, nbody, *refs):
     m01_ref[0, 0] = jnp.stack(m01s)
 
 
-def _extract_t_brief_kernel_v4(quant, nbody, *refs):
+def _extract_t_brief_kernel_v4(quant, nbody, band, *refs):
     # v4 "slot diet" kernel (round 4): same outputs as
     # _extract_t_brief_kernel, bit-identical by construction, ~0.5x the
     # per-slot VPU work. Two changes inside the slot loop:
@@ -440,25 +449,26 @@ def _extract_t_brief_kernel_v4(quant, nbody, *refs):
     #      (columns = 2 x 256 pair lanes) instead of two K=32 dots.
     # The raw patch extraction + IC moments stay the v3 masked-accumulate
     # code (bit-exact continuity of the angle chain).
-    np_ = 2 * (nbody + 4)
+    np_ = 2 * (nbody + 32 // band)
     planes = refs[:np_]
     x0_ref, ry_ref, mu_ref, mv_ref, patx_ref, paty_ref = refs[np_:np_ + 6]
     bits_ref, m10_ref, m01_ref, wt_ref = refs[np_ + 6:]
     cap = x0_ref.shape[2] // nbody   # slots per band (static block shape)
+    win = band + 32
 
-    nrows = 2 * (8 * nbody + WIN - BAND)
+    nrows = 2 * (band * nbody + 32)
     w = jnp.concatenate([p[:] for p in planes], axis=0)
     if nrows < 128:
         w = jnp.concatenate(
             [w, jnp.zeros((128 - nrows, w.shape[1]), w.dtype)], axis=0)
     wtp = jnp.transpose(w)
     wt_ref[:] = jnp.concatenate(
-        [wtp, jnp.zeros((BAND, wtp.shape[1]), wtp.dtype)], axis=0)
+        [wtp, jnp.zeros((band, wtp.shape[1]), wtp.dtype)], axis=0)
     mu = mu_ref[:]
     mv = mv_ref[:]
-    blur_base = 8 * nbody + WIN - BAND
+    blur_base = band * nbody + 32
 
-    rows40 = jax.lax.broadcasted_iota(jnp.int32, (WIN, 512), 0)
+    rows40 = jax.lax.broadcasted_iota(jnp.int32, (win, 512), 0)
     rows32 = jax.lax.broadcasted_iota(jnp.int32, (_PP, 512), 0)
     px2 = jnp.concatenate([patx_ref[0:1, :], patx_ref[1:2, :]], axis=1)
     py2 = jnp.concatenate([paty_ref[0:1, :], paty_ref[1:2, :]], axis=1)
@@ -471,10 +481,10 @@ def _extract_t_brief_kernel_v4(quant, nbody, *refs):
             ryc = ry_ref[0, 0, idx]
             xs = wt_ref[pl.ds(x0c, _PP), :]                  # (_PP, 128)
             raw_t = jnp.zeros((_PP, _PP), jnp.float32)
-            for r in range(BAND):
+            for r in range(band):
                 sel = (ryc == r).astype(jnp.float32)
                 raw_t = raw_t + sel * jax.lax.slice(
-                    xs, (0, 8 * j + r), (_PP, 8 * j + r + _PP))
+                    xs, (0, band * j + r), (_PP, band * j + r + _PP))
             m10 = jnp.sum(raw_t * mu)
             m01 = jnp.sum(raw_t * mv)
             m10s.append(m10)
@@ -490,10 +500,10 @@ def _extract_t_brief_kernel_v4(quant, nbody, *refs):
                           0, 2 * PATCH_R)
             iy = jnp.clip(jnp.round(ry2).astype(jnp.int32) + PATCH_R,
                           0, 2 * PATCH_R)
-            voh = (rows40 == iy + ryc).astype(jnp.float32)   # (WIN, 512)
+            voh = (rows40 == iy + ryc).astype(jnp.float32)   # (win, 512)
             uoh = (rows32 == ix).astype(jnp.float32)         # (_PP, 512)
-            xw = jax.lax.slice(xs, (0, blur_base + 8 * j),
-                               (_PP, blur_base + 8 * j + WIN))
+            xw = jax.lax.slice(xs, (0, blur_base + band * j),
+                               (_PP, blur_base + band * j + win))
             q = jnp.dot(xw, voh, preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)  # (_PP, 512)
             vals = jnp.sum(uoh * q, axis=0, keepdims=True)   # (1, 512)
@@ -533,7 +543,7 @@ def _brief_bits_from_patch(blur_t, ca, sa, patx_ref, paty_ref, rows32,
     return (vals[0] < vals[1]).astype(jnp.float32)
 
 
-def _extract_t_brief_kernel_quad(quant, nbody, *refs):
+def _extract_t_brief_kernel_quad(quant, nbody, band, *refs):
     # v6 "quad" kernel (round 5): slots processed FOUR at a time with the
     # row/plane selection done by ONE block-structured one-hot MXU matmul
     # per quad instead of 16 masked 32-lane slice-FMAs per slot. The v3
@@ -555,23 +565,23 @@ def _extract_t_brief_kernel_quad(quant, nbody, *refs):
     # their one-hot columns are all-zero -> zero patches, zero moments,
     # zero bits — exactly the v3 contract. Requires cap % 4 == 0 (already
     # the banded_extract contract), so a quad never spans bands.
-    np_ = 2 * (nbody + 4)
+    np_ = 2 * (nbody + 32 // band)
     planes = refs[:np_]
     x0_ref, ry_ref, mu_ref, mv_ref, patx_ref, paty_ref = refs[np_:np_ + 6]
     bits_ref, m10_ref, m01_ref, wt_ref = refs[np_ + 6:]
     cap = x0_ref.shape[2] // nbody   # slots per band (static block shape)
 
-    nrows = 2 * (8 * nbody + WIN - BAND)
+    nrows = 2 * (band * nbody + 32)
     w = jnp.concatenate([p[:] for p in planes], axis=0)
     if nrows < 128:
         w = jnp.concatenate(
             [w, jnp.zeros((128 - nrows, w.shape[1]), w.dtype)], axis=0)
     wtp = jnp.transpose(w)
     wt_ref[:] = jnp.concatenate(
-        [wtp, jnp.zeros((BAND, wtp.shape[1]), wtp.dtype)], axis=0)
+        [wtp, jnp.zeros((band, wtp.shape[1]), wtp.dtype)], axis=0)
     mu = mu_ref[:]
     mv = mv_ref[:]
-    blur_base = 8 * nbody + WIN - BAND
+    blur_base = band * nbody + 32
     rows32 = jax.lax.broadcasted_iota(jnp.int32, (_PP, 256), 0)
 
     # static pieces of the RB one-hot's column-offset vector:
@@ -596,7 +606,7 @@ def _extract_t_brief_kernel_quad(quant, nbody, *refs):
             offv = vbase
             for q in range(4):
                 ryq = ry_ref[0, 0, idx0 + q]
-                offq = jnp.where(ryq >= 0, 8 * j + ryq, -1000)
+                offq = jnp.where(ryq >= 0, band * j + ryq, -1000)
                 offv = offv + jnp.where(qsel == q, offq, 0)
             rb = (sub == offv).astype(jnp.float32)           # (128, 256)
             out = jnp.dot(xs4, rb, preferred_element_type=jnp.float32,
@@ -623,7 +633,7 @@ def _extract_t_brief_kernel_quad(quant, nbody, *refs):
     m01_ref[0, 0] = jnp.stack(m01s)
 
 
-def _extract_t_brief_kernel_sparse(quant, nbody, *refs):
+def _extract_t_brief_kernel_sparse(quant, nbody, band, *refs):
     # v5 "occupancy-predicated" kernel (round 4): the v3 math verbatim,
     # but every slot body is wrapped in @pl.when(ryc >= 0) — parked slots
     # (rel_y == -31 from atlas.banded_extract, or -1 from _pad_tables'
@@ -642,23 +652,23 @@ def _extract_t_brief_kernel_sparse(quant, nbody, *refs):
     #   - moments go through an SMEM scratch (scalar stores are legal
     #     under @pl.when; VMEM scalar stores are not), then one vector
     #     assembly after the loop — the same stack() the v3 kernel does.
-    np_ = 2 * (nbody + 4)
+    np_ = 2 * (nbody + 32 // band)
     planes = refs[:np_]
     x0_ref, ry_ref, mu_ref, mv_ref, patx_ref, paty_ref = refs[np_:np_ + 6]
     bits_ref, m10_ref, m01_ref, wt_ref, m_scr = refs[np_ + 6:]
     cap = x0_ref.shape[2] // nbody   # slots per band (static block shape)
 
-    nrows = 2 * (8 * nbody + WIN - BAND)
+    nrows = 2 * (band * nbody + 32)
     w = jnp.concatenate([p[:] for p in planes], axis=0)
     if nrows < 128:
         w = jnp.concatenate(
             [w, jnp.zeros((128 - nrows, w.shape[1]), w.dtype)], axis=0)
     wtp = jnp.transpose(w)
     wt_ref[:] = jnp.concatenate(
-        [wtp, jnp.zeros((BAND, wtp.shape[1]), wtp.dtype)], axis=0)
+        [wtp, jnp.zeros((band, wtp.shape[1]), wtp.dtype)], axis=0)
     mu = mu_ref[:]
     mv = mv_ref[:]
-    blur_base = 8 * nbody + WIN - BAND
+    blur_base = band * nbody + 32
     rows32 = jax.lax.broadcasted_iota(jnp.int32, (_PP, 256), 0)
 
     bits_ref[0] = jnp.zeros((nbody * cap, 256), jnp.float32)
@@ -675,13 +685,13 @@ def _extract_t_brief_kernel_sparse(quant, nbody, *refs):
                 xs = wt_ref[pl.ds(x0c, _PP), :]              # (_PP, 128)
                 raw_t = jnp.zeros((_PP, _PP), jnp.float32)
                 blur_t = jnp.zeros((_PP, _PP), jnp.float32)
-                for r in range(BAND):
+                for r in range(band):
                     sel = (ryc == r).astype(jnp.float32)
                     raw_t = raw_t + sel * jax.lax.slice(
-                        xs, (0, 8 * j + r), (_PP, 8 * j + r + _PP))
+                        xs, (0, band * j + r), (_PP, band * j + r + _PP))
                     blur_t = blur_t + sel * jax.lax.slice(
-                        xs, (0, blur_base + 8 * j + r),
-                        (_PP, blur_base + 8 * j + r + _PP))
+                        xs, (0, blur_base + band * j + r),
+                        (_PP, blur_base + band * j + r + _PP))
                 m10 = jnp.sum(raw_t * mu)
                 m01 = jnp.sum(raw_t * mv)
                 m_scr[0, idx] = m10
@@ -716,14 +726,15 @@ def _extract_t_brief_kernel_sparse(quant, nbody, *refs):
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "quant", "nbody", "diet",
-                                    "sparse", "quad"))
+                                    "sparse", "quad", "band"))
 def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
                             interpret: bool = False,
                             quant: bool | None = None,
                             nbody: int = 1,
                             diet: bool = False,
                             sparse: bool = False,
-                            quad: bool = False):
+                            quad: bool = False,
+                            band: int | None = None):
     """Transposed extraction with IC moments AND steered BRIEF in-kernel.
 
     Same inputs as `extract_windows_t`; returns (bits, m10, m01) with
@@ -757,10 +768,12 @@ def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
             q = "1" if os.environ.get("RPE_BRIEF") == "cv2" else ""
         quant = bool(q and q != "0")
 
+    band = BAND if band is None else int(band)
+    assert band * nbody <= 32, (band, nbody)
     ha, wp = atlas.shape
-    nb = ha // BAND
+    nb = ha // band
     cap = tbl_x0.shape[1]            # slots per band (static)
-    nq = nbody + 4                               # blocks per plane
+    nq = nbody + 32 // band                      # blocks per plane
 
     mask_np, us_np, vs_np = _ic_angle_masks()
     mu_t = jnp.asarray(np.pad(mask_np * us_np, ((0, 1), (0, 1))).T)
@@ -772,7 +785,7 @@ def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
 
     def _block(q):
         return pl.BlockSpec(
-            (BAND, wp),
+            (band, wp),
             lambda b, q=q: (jnp.minimum(b * nbody + q, nb - 1), 0),
             memory_space=pltpu.VMEM)
 
@@ -785,11 +798,11 @@ def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
         kfn = _extract_t_brief_kernel_v4
     else:
         kfn = _extract_t_brief_kernel
-    scratch = [pltpu.VMEM((wp + BAND, 128), jnp.float32)]
+    scratch = [pltpu.VMEM((wp + band, 128), jnp.float32)]
     if sparse:
         scratch.append(pltpu.SMEM((2, nbody * cap), jnp.float32))
     bits, m10, m01 = pl.pallas_call(
-        functools.partial(kfn, quant, nbody),
+        functools.partial(kfn, quant, nbody, band),
         out_shape=(
             jax.ShapeDtypeStruct((g, nbody * cap, 256), jnp.float32),
             jax.ShapeDtypeStruct((g, 1, nbody * cap), jnp.float32),
@@ -858,7 +871,7 @@ def extract_windows(win_raw, win_blur, tbl_x0, rel_y, interpret: bool = False):
         out_shape=(out_sd, out_sd),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, 2 * WIN, wp), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, wcat.shape[1], wp), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, cap * _PP), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -157,7 +157,7 @@ def kernel_gate(name: str) -> bool:
     return v.strip().lower() not in _GATE_OFF
 
 
-def extract_nbody() -> int:
+def extract_nbody(band: int = 8) -> int:
     """Bands served per grid step by the transposed extraction kernels
     (extract_pallas.extract_windows_t / _t_brief `nbody`). One VMEM
     transpose serves nbody bands, cutting the kernels' in-kernel staging
@@ -169,14 +169,19 @@ def extract_nbody() -> int:
     """
     import os
 
+    # transpose packing constraint: 2 planes x (band*nbody + 32) rows
+    # must fit 128 lanes -> band * nbody <= 32 (pooled banding, round 5:
+    # band=32 forces nbody=1 — one transpose already serves 32 atlas
+    # rows, the same span nbody=4 covered at band=8)
+    cap_n = max(32 // int(band), 1)
     v = os.environ.get("RPE_EXTRACT_T_NBODY", "").strip()
     try:
         n = int(v) if v else 4
     except ValueError:
-        return 4
-    if n in (1, 2, 4):
-        return n
-    return 1 if n <= 1 else 4        # "0"/off -> single-band fallback
+        return min(4, cap_n)
+    if n not in (1, 2, 4):
+        n = 1 if n <= 1 else 4       # "0"/off -> single-band fallback
+    return min(n, cap_n)
 
 
 def detect_level(img, threshold: float, margin: int, quota: int):

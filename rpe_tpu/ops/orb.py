@@ -260,6 +260,7 @@ def orb_detect_and_describe_atlas(
     fast_threshold: float = 15.0,
     max_kpts: int = 4096,
     extract_cap: int | None = None,
+    band: int | None = None,
 ):
     """Atlas-based ORB: one rank-map pass, one blur, one banded patch
     extraction for the whole pyramid (see ops/atlas.py). Output contract is
@@ -333,7 +334,7 @@ def orb_detect_and_describe_atlas(
         level, score, valid = level[:max_kpts], score[:max_kpts], valid[:max_kpts]
 
     ext = banded_extract(atlas, blurred, xy_atlas, valid, patch=PATCH,
-                         cap=extract_cap)
+                         cap=extract_cap, band=band)
 
     if ext.get("m10") is not None:
         # moments computed in the extraction kernel (RPE_EXTRACT_MOMENTS)
@@ -370,6 +371,7 @@ def orb_detect_and_describe(
     max_kpts: int = 4096,
     use_atlas: bool = True,
     extract_cap: int | None = None,
+    band: int | None = None,
 ):
     """Full ORB on one grayscale image (H, W) float32 [0, 255].
 
@@ -387,7 +389,7 @@ def orb_detect_and_describe(
         return orb_detect_and_describe_atlas(
             img, nfeatures=nfeatures, nlevels=nlevels,
             scale_factor=scale_factor, fast_threshold=fast_threshold,
-            max_kpts=max_kpts, extract_cap=extract_cap)
+            max_kpts=max_kpts, extract_cap=extract_cap, band=band)
     quotas = level_quotas(nfeatures, nlevels, scale_factor)
     levels = build_pyramid(img, nlevels, scale_factor)
 

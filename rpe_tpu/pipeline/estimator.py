@@ -42,6 +42,7 @@ def detect_features(img, cfg: EstimatorConfig):
             fast_threshold=o.fast_threshold,
             max_kpts=o.max_kpts,
             extract_cap=o.extract_cap,
+            band=o.band,
         )
     if cfg.feature_method.upper() == "SIFT":
         from ..ops.sift import sift_detect_and_describe

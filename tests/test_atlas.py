@@ -162,3 +162,42 @@ def test_onehot_bf16_bit_identical():
                                   np.asarray(b["patches_raw"]))
     np.testing.assert_array_equal(np.asarray(a["patches_blur"]),
                                   np.asarray(b["patches_blur"]))
+
+
+def test_overfull_band_last_slot_not_clobbered():
+    """Round-5 bug fix: dropped keypoints (pos >= cap) used to alias the
+    band's LAST slot (clip to cap-1), clobbering its rightful keypoint's
+    table entry (used=False -> zero patches -> zero descriptor while
+    still valid=True). The kept keypoint at pos cap-1 of an over-full
+    band must extract its true patch."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rpe_tpu.ops.atlas import banded_extract
+
+    rng = np.random.default_rng(3)
+    ha, wp = 64, 128
+    atlas = rng.uniform(0, 255, (ha, wp)).astype(np.float32)
+    blurred = rng.uniform(0, 255, (ha, wp)).astype(np.float32)
+    cap = 8
+    k = 12  # 12 keypoints, all in band 2 (y in [16, 24)) -> 4 dropped
+    xy = np.stack([
+        np.linspace(20, 90, k).astype(np.float32),
+        np.full(k, 18.0, np.float32)], axis=1)
+    valid = np.ones(k, bool)
+    ext = banded_extract(jnp.asarray(atlas), jnp.asarray(blurred),
+                         jnp.asarray(xy), jnp.asarray(valid), cap=cap)
+    order = np.asarray(ext["order"])
+    slot = np.asarray(ext["slot_of_sorted"])
+    vs = np.asarray(ext["valid_sorted"])
+    assert int(vs.sum()) == cap  # 8 kept, 4 dropped
+    raw = np.asarray(ext["patches_raw"]).reshape(-1, 31, 31)
+    for i in range(k):
+        if not vs[i]:
+            continue
+        oi = order[i]
+        x0 = int(np.clip(xy[oi, 0] - 15, 0, wp - 31))
+        y0 = int(np.clip(xy[oi, 1] - 15, 0, ha - 31))
+        np.testing.assert_array_equal(
+            raw[slot[i]], atlas[y0:y0 + 31, x0:x0 + 31],
+            err_msg=f"kept keypoint {oi} (sorted {i}, slot {slot[i]})")

@@ -34,7 +34,17 @@ REPO = Path(__file__).resolve().parent.parent
 # Frame 210 measured 3.24-11.59 deg across the 5-seed TPU sweep (spread
 # 8.36 — .scratch/regress_lab.py 12-seed lab confirms a count-tied valley
 # like 165/705).
-AMBIGUOUS = {("simulator", 165), ("simulator", 705), ("simulator", 210)}
+# Salah frames 330/400-425 (round-5 investigation, docs/PERF_LOG.md):
+# plane-dominant pairs with the textbook planar TWOFOLD ambiguity —
+# wrong-by-15-30deg models carry EQUAL inlier counts (e.g. frame 420:
+# 30.7 deg at 192 inliers vs 2.1 deg at 191; .scratch/salah420_lab.py),
+# and the homography's two decomposition branches split the same way
+# with the WRONG branch often holding MORE Sampson support (pair 70:
+# 429 vs 416 inliers — .scratch/hselect_lab.py). No correspondence-
+# resident criterion separates the branches; only GT does.
+AMBIGUOUS = {("simulator", 165), ("simulator", 705), ("simulator", 210),
+             ("salah", 330), ("salah", 405), ("salah", 410),
+             ("salah", 415), ("salah", 420), ("salah", 425)}
 
 # Sweep artifact tolerances. The committed golden is ONE seed's draw plus
 # backend (TPU vs sweep-run) noise; envelope slack must cover the

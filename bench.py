@@ -168,14 +168,16 @@ def _stage_flops(cfg, h=H, w=W):
     selection contractions included — they are real MXU work even though
     they move no information), not textbook op counts. Formulas cite the
     op they model; constants from docs/PERF_LOG.md rooflines."""
-    from rpe_tpu.ops.atlas import BAND, CAP, atlas_layout
+    from rpe_tpu.ops.atlas import CAP, atlas_layout
     from rpe_tpu.ops.pyramid import level_shapes
 
     o = cfg.orb
     shapes = level_shapes(h, w, o.nlevels, o.scale_factor)
     _, ha, wp = atlas_layout(h, w, o.nlevels, o.scale_factor)
-    cap = o.extract_cap or CAP
-    nb = ha // BAND
+    # slots = NB * cap with cap interpreted PER BAND of o.band rows
+    # (pooled banding, ops/atlas.banded_extract)
+    cap = o.extract_cap or CAP * o.band // 8
+    nb = ha // o.band
     # fused pyramid build: vertical stacked matmul + per-level horizontal
     atlas_f = (sum(lh for (lh, _) in shapes[1:]) * h * w * 2
                + sum(lh * w * lw * 2 for (lh, lw) in shapes[1:]))
@@ -184,8 +186,10 @@ def _stage_flops(cfg, h=H, w=W):
     # single conservative utilization number
     rank_f = 260 * ha * wp
     # T_BRIEF extraction: per slot 2 one-hot sampling dots (32,32)@(32,256)
-    # + 16 masked slice-FMAs on (32,32) + IC moments
-    slot_f = (2 * 2 * 32 * 32 * 256) + 16 * 2 * 32 * 32 + 4 * 32 * 32
+    # + row-select masked slice-FMAs on (32,32) (count scales with the
+    # band height: 16 at band=8) + IC moments
+    slot_f = ((2 * 2 * 32 * 32 * 256)
+              + 16 * (o.band // 8) * 2 * 32 * 32 + 4 * 32 * 32)
     extract_f = nb * cap * slot_f
     detect_g = (atlas_f + rank_f + extract_f) / 1e9
     # matcher: one (K,256)@(256,K) distance dot (Hamming via popcount-

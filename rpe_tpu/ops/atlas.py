@@ -292,7 +292,8 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31,
                 band=band_rows, nbody=extract_nbody(band_rows),
                 diet=kernel_gate("RPE_EXTRACT_T_BRIEF_V4"),
                 sparse=kernel_gate("RPE_EXTRACT_T_SPARSE"),
-                quad=kernel_gate("RPE_EXTRACT_T_QUAD"))
+                quad=kernel_gate("RPE_EXTRACT_T_QUAD"),
+                binned=kernel_gate("RPE_EXTRACT_T_V7"))
             return {
                 "patches_raw": None,
                 "patches_blur": None,

@@ -429,7 +429,7 @@ def _extract_t_brief_kernel(quant, nbody, band, *refs):
             # mirror orb._brief_bits's cv2-interop quantization (static)
             vals.append(jnp.round(v) if quant else v)
         bits.append((vals[0] < vals[1]).astype(jnp.float32))
-    bits_ref[0] = jnp.concatenate(bits, axis=0)         # (nbody*CAP, 256)
+    bits_ref[0] = jnp.concatenate(bits, axis=0).astype(bits_ref.dtype)
     m10_ref[0, 0] = jnp.stack(m10s)
     m01_ref[0, 0] = jnp.stack(m01s)
 
@@ -512,7 +512,7 @@ def _extract_t_brief_kernel_v4(quant, nbody, band, *refs):
             v0 = jax.lax.slice(vals, (0, 0), (1, 256))
             v1 = jax.lax.slice(vals, (0, 256), (1, 512))
             bits.append((v0 < v1).astype(jnp.float32))
-    bits_ref[0] = jnp.concatenate(bits, axis=0)
+    bits_ref[0] = jnp.concatenate(bits, axis=0).astype(bits_ref.dtype)
     m10_ref[0, 0] = jnp.stack(m10s)
     m01_ref[0, 0] = jnp.stack(m01s)
 
@@ -628,7 +628,110 @@ def _extract_t_brief_kernel_quad(quant, nbody, band, *refs):
                 sa = jnp.where(r_ > 0.0, m01 / rsafe, 0.0)
                 bits.append(_brief_bits_from_patch(
                     blur_t, ca, sa, patx_ref, paty_ref, rows32, quant))
-    bits_ref[0] = jnp.concatenate(bits, axis=0)         # (nbody*CAP, 256)
+    bits_ref[0] = jnp.concatenate(bits, axis=0).astype(bits_ref.dtype)
+    m10_ref[0, 0] = jnp.stack(m10s)
+    m01_ref[0, 0] = jnp.stack(m01s)
+
+
+def _extract_t_brief_kernel_v7(quant, nbody, band, *refs):
+    # v7 "binned" kernel (round 5): quad's MXU row-select PLUS the BRIEF
+    # sampling batched 4 slots per MXU contraction through STATIC
+    # steering tables (orb.brief_bin_tables — the ORB paper §4.3 30-bin
+    # discretization; cv2's continuous rotation is what v3/v6 mirror).
+    # The v6 measurement left ~2/3 of the per-slot cost in the per-slot
+    # BRIEF chain (per slot: 4 one-hot CONSTRUCTIONS (32,256), 2 dots,
+    # 2 masked sums, ~20 scalar rotation ops). With the angle quantized
+    # to 30 bins the one-hots become static lookup tables, so per quad:
+    #   1. rowsel dot (128,128)@(128,256) — v6's, unchanged;
+    #   2. per slot only: 2 moment reduces, ~6 bin-argmax ops, 2 table
+    #      row-slices (32, 512) — no rotation math, no one-hot builds;
+    #   3. ONE (128,128)@(128,512) dot samples all 4 slots' 512 points
+    #      (block-diag blur operand x bin-selected one-hot stack), one
+    #      (4,128)@(128,512) selection dot reduces to per-slot values.
+    # Sampling values are exact one-hot selections at HIGHEST, so bits
+    # are bit-identical to steered_brief_t_binned on the same moments.
+    # Parked slots: zero windows -> zero moments -> bin 0 -> zero
+    # samples -> zero bits (the v3 contract).
+    np_ = 2 * (nbody + 32 // band)
+    planes = refs[:np_]
+    (x0_ref, ry_ref, mu_ref, mv_ref, patx_ref, paty_ref,
+     uoh_ref, voh_ref, bin_ref) = refs[np_:np_ + 9]
+    bits_ref, m10_ref, m01_ref, wt_ref = refs[np_ + 9:]
+    cap = x0_ref.shape[2] // nbody   # slots per band (static block shape)
+
+    nrows = 2 * (band * nbody + 32)
+    w = jnp.concatenate([p[:] for p in planes], axis=0)
+    if nrows < 128:
+        w = jnp.concatenate(
+            [w, jnp.zeros((128 - nrows, w.shape[1]), w.dtype)], axis=0)
+    wtp = jnp.transpose(w)
+    wt_ref[:] = jnp.concatenate(
+        [wtp, jnp.zeros((band, wtp.shape[1]), wtp.dtype)], axis=0)
+    mu = mu_ref[:]
+    mv = mv_ref[:]
+    blur_base = band * nbody + 32
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+    qsel = (lane // 32) % 4                      # quad-member of column n
+    vbase = (lane % 32) + jnp.where(lane >= 128, blur_base, 0)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (128, 256), 0)
+    # static in-kernel selection masks (built once per grid step)
+    r128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    c128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    bdmask = ((r128 // 32) == (c128 // 32)).astype(jnp.float32)
+    g4r = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 0)
+    g4c = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1)
+    sel4 = (g4r == (g4c // 32)).astype(jnp.float32)          # (4, 128)
+    cosv = bin_ref[0:1, :]                       # (1, 128), 0 past 30 bins
+    sinv = bin_ref[1:2, :]
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    bits, m10s, m01s = [], [], []
+    for j in range(nbody):
+        for g in range(cap // 4):
+            idx0 = j * cap + 4 * g
+            xs4 = jnp.concatenate(
+                [wt_ref[pl.ds(x0_ref[0, 0, idx0 + q], _PP), :]
+                 for q in range(4)], axis=0)                 # (128, 128)
+            offv = vbase
+            for q in range(4):
+                ryq = ry_ref[0, 0, idx0 + q]
+                offq = jnp.where(ryq >= 0, band * j + ryq, -1000)
+                offv = offv + jnp.where(qsel == q, offq, 0)
+            rb = (sub == offv).astype(jnp.float32)           # (128, 256)
+            out = jnp.dot(xs4, rb, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+            blurd = jax.lax.slice(out, (0, 128), (128, 256)) * bdmask
+            uohs, vohs = [], []
+            for q in range(4):
+                raw_t = jax.lax.slice(
+                    out, (32 * q, 32 * q), (32 * q + _PP, 32 * q + _PP))
+                m10 = jnp.sum(raw_t * mu)
+                m01 = jnp.sum(raw_t * mv)
+                m10s.append(m10)
+                m01s.append(m01)
+                # nearest steering bin by direction dot-product argmax
+                # (first-match tie-break) — the orb.angle_bins chain
+                dq = m10 * cosv + m01 * sinv                 # (1, 128)
+                mx = jnp.max(dq)
+                binq = jnp.min(jnp.where(dq >= mx, iota_b, 127))
+                uohs.append(uoh_ref[pl.ds(binq * 32, _PP), :])
+                vohs.append(voh_ref[pl.ds(binq * 32, _PP), :])
+            UOH4 = jnp.concatenate(uohs, axis=0)             # (128, 512)
+            VOH4 = jnp.concatenate(vohs, axis=0)
+            qmat = jnp.dot(blurd, VOH4,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            prd = UOH4 * qmat                                # (128, 512)
+            vals = jnp.dot(sel4, prd,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)  # (4, 512)
+            if quant:
+                vals = jnp.round(vals)
+            v0 = jax.lax.slice(vals, (0, 0), (4, 256))
+            v1 = jax.lax.slice(vals, (0, 256), (4, 512))
+            bits.append((v0 < v1).astype(jnp.float32))
+    bits_ref[0] = jnp.concatenate(bits, axis=0).astype(bits_ref.dtype)
     m10_ref[0, 0] = jnp.stack(m10s)
     m01_ref[0, 0] = jnp.stack(m01s)
 
@@ -671,7 +774,7 @@ def _extract_t_brief_kernel_sparse(quant, nbody, band, *refs):
     blur_base = band * nbody + 32
     rows32 = jax.lax.broadcasted_iota(jnp.int32, (_PP, 256), 0)
 
-    bits_ref[0] = jnp.zeros((nbody * cap, 256), jnp.float32)
+    bits_ref[0] = jnp.zeros((nbody * cap, 256), bits_ref.dtype)
     for j in range(nbody):
         for c in range(cap):
             idx = j * cap + c
@@ -719,14 +822,14 @@ def _extract_t_brief_kernel_sparse(quant, nbody, band, *refs):
                     v = jnp.sum(uoh * q, axis=0, keepdims=True)
                     vals.append(jnp.round(v) if quant else v)
                 bits_ref[0, idx: idx + 1, :] = (
-                    vals[0] < vals[1]).astype(jnp.float32)
+                    vals[0] < vals[1]).astype(bits_ref.dtype)
     m10_ref[0, 0] = jnp.stack([m_scr[0, i] for i in range(nbody * cap)])
     m01_ref[0, 0] = jnp.stack([m_scr[1, i] for i in range(nbody * cap)])
 
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "quant", "nbody", "diet",
-                                    "sparse", "quad", "band"))
+                                    "sparse", "quad", "band", "binned"))
 def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
                             interpret: bool = False,
                             quant: bool | None = None,
@@ -734,7 +837,8 @@ def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
                             diet: bool = False,
                             sparse: bool = False,
                             quad: bool = False,
-                            band: int | None = None):
+                            band: int | None = None,
+                            binned: bool = False):
     """Transposed extraction with IC moments AND steered BRIEF in-kernel.
 
     Same inputs as `extract_windows_t`; returns (bits, m10, m01) with
@@ -754,7 +858,13 @@ def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
     atlas.banded_extract guarantees).
     `quad`: route through _extract_t_brief_kernel_quad (bit-identical
     4-slot MXU row-select — RPE_EXTRACT_T_QUAD at the atlas call site;
-    round-5 layout experiment targeting the VPU-issue slot-loop floor)."""
+    round-5 layout experiment targeting the VPU-issue slot-loop floor).
+    `binned`: route through _extract_t_brief_kernel_v7 (quad's row-select
+    + BRIEF batched through the ORB-paper 30-bin static steering tables,
+    RPE_EXTRACT_T_V7 at the atlas call site). NOT bit-identical to the
+    continuous-steering kernels: descriptors change wherever the 30-bin
+    rotation rounds a sample differently (paper-canonical deviation,
+    PARITY.md); the exact twin is orb.steered_brief_t_binned."""
     import os
 
     from .orb import _ic_angle_masks, brief_pattern
@@ -789,7 +899,10 @@ def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
             lambda b, q=q: (jnp.minimum(b * nbody + q, nb - 1), 0),
             memory_space=pltpu.VMEM)
 
-    if quad:
+    if binned:
+        assert cap % 4 == 0, f"v7 kernel needs cap % 4 == 0, got {cap}"
+        kfn = _extract_t_brief_kernel_v7
+    elif quad:
         assert cap % 4 == 0, f"quad kernel needs cap % 4 == 0, got {cap}"
         kfn = _extract_t_brief_kernel_quad
     elif sparse:
@@ -798,13 +911,36 @@ def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
         kfn = _extract_t_brief_kernel_v4
     else:
         kfn = _extract_t_brief_kernel
+    extra_ops, extra_specs = [], []
+    if binned:
+        from .orb import brief_bin_tables, brief_bin_vectors
+
+        _, _, uoh_np, voh_np = brief_bin_tables()
+        cosb, sinb = brief_bin_vectors()
+        binrow = np.zeros((2, 128), np.float32)
+        binrow[0, : cosb.shape[0]] = cosb
+        binrow[1, : sinb.shape[0]] = sinb
+        extra_ops = [jnp.asarray(uoh_np), jnp.asarray(voh_np),
+                     jnp.asarray(binrow)]
+        extra_specs = [
+            pl.BlockSpec(uoh_np.shape, lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(voh_np.shape, lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     scratch = [pltpu.VMEM((wp + band, 128), jnp.float32)]
     if sparse:
         scratch.append(pltpu.SMEM((2, nbody * cap), jnp.float32))
     bits, m10, m01 = pl.pallas_call(
         functools.partial(kfn, quant, nbody, band),
         out_shape=(
-            jax.ShapeDtypeStruct((g, nbody * cap, 256), jnp.float32),
+            # bf16 bits: 0/1 exact, HALF the output footprint — at
+            # band=32 XLA's memory-space assignment keeps the full bits
+            # result in scoped VMEM, and the f32 version blew the 16 MiB
+            # scoped limit (17.75M, hardware compile 08-20); bf16 fits.
+            jax.ShapeDtypeStruct((g, nbody * cap, 256), jnp.bfloat16),
             jax.ShapeDtypeStruct((g, 1, nbody * cap), jnp.float32),
             jax.ShapeDtypeStruct((g, 1, nbody * cap), jnp.float32),
         ),
@@ -826,6 +962,7 @@ def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
                 pl.BlockSpec((2, 256), lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
             ]
+            + extra_specs
         ),
         out_specs=(
             pl.BlockSpec((1, nbody * cap, 256), lambda b: (b, 0, 0),
@@ -838,7 +975,7 @@ def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
         scratch_shapes=scratch,
         interpret=interpret,
     )(*([atlas] * nq + [blurred] * nq
-        + [x0_g, ry_g, mu_t, mv_t, patx, paty]))
+        + [x0_g, ry_g, mu_t, mv_t, patx, paty] + extra_ops))
     bits = bits.reshape(g * nbody, cap, 256)[:nb]
     return (bits.astype(jnp.uint8),
             m10.reshape(g * nbody, cap)[:nb],

@@ -241,6 +241,101 @@ def steered_brief_t(patches_blur_t, angles, quant: bool | None = None):
     return _brief_bits(vals, quant=quant)
 
 
+N_BRIEF_BINS = 30  # ORB paper §4.3: steering discretized to 2*pi/30
+
+
+@functools.lru_cache(maxsize=None)
+def brief_bin_tables(n_bins: int = N_BRIEF_BINS):
+    """Static binned-steering lookup tables (ORB paper §4.3: "we
+    discretize the angle to increments of 2*pi/30 and construct a lookup
+    table of precomputed BRIEF patterns"; cv2's implementation rotates
+    continuously — rpe_tpu's continuous path is the cv2 twin, this is the
+    paper-canonical variant that makes the sampling one-hots STATIC so
+    the extraction kernel batches slots through shared MXU contractions).
+
+    Returns numpy (never jnp — lru_cache/tracer rule):
+      ix_tab, iy_tab: (n_bins, 512) int32 — sample coords in [0, 30],
+        column layout j-major (n = j*256 + k for pattern pair k, point j);
+      uoh, voh: (n_bins*32, 512) float32 — the same coords one-hot over a
+        32-row (padded-patch) axis, row-blocked by bin for kernel
+        dynamic-slice lookup: uoh[b*32+u, n] = (u == ix_tab[b, n]).
+    The rotation/round/clip chain mirrors _brief_onehots exactly (f32
+    cos/sin products, round-half-even, clip to [0, 2*PATCH_R])."""
+    pat = brief_pattern().astype(np.float32)                 # (256, 2, 2)
+    th = (2.0 * np.pi / n_bins) * np.arange(n_bins)
+    ca = np.cos(th).astype(np.float32)[:, None]              # (B, 1)
+    sa = np.sin(th).astype(np.float32)[:, None]
+    px = pat[:, :, 0].T.reshape(-1).astype(np.float32)[None]  # (1, 512)
+    py = pat[:, :, 1].T.reshape(-1).astype(np.float32)[None]
+    rx = px * ca - py * sa                                   # (B, 512) f32
+    ry = px * sa + py * ca
+    ix = np.clip(np.rint(rx).astype(np.int32) + PATCH_R, 0, 2 * PATCH_R)
+    iy = np.clip(np.rint(ry).astype(np.int32) + PATCH_R, 0, 2 * PATCH_R)
+    grid = np.arange(32, dtype=np.int32)
+    uoh = (ix[:, None, :] == grid[None, :, None]).astype(np.float32)
+    voh = (iy[:, None, :] == grid[None, :, None]).astype(np.float32)
+    return (ix, iy,
+            uoh.reshape(n_bins * 32, 512), voh.reshape(n_bins * 32, 512))
+
+
+@functools.lru_cache(maxsize=None)
+def brief_bin_vectors(n_bins: int = N_BRIEF_BINS):
+    """(cos, sin) of the bin centers, f32 numpy (n_bins,)."""
+    th = (2.0 * np.pi / n_bins) * np.arange(n_bins)
+    return np.cos(th).astype(np.float32), np.sin(th).astype(np.float32)
+
+
+def angle_bins(m10, m01, n_bins: int = N_BRIEF_BINS):
+    """Nearest steering bin from raw IC moments, branch-free.
+
+    argmax_b (m10 cos th_b + m01 sin th_b) == the bin whose center is
+    angularly nearest atan2(m01, m10) (the dot with a unit direction is
+    |m| cos(dtheta)); first-match tie-break; (0, 0) moments -> bin 0
+    (cos=1, sin=0 — the same convention as the kernels' ca/sa fallback).
+    The op chain (f32 multiply-add, >=max compare, min-index) mirrors the
+    v7 Pallas kernel exactly so bin choices agree bit-for-bit."""
+    cosb, sinb = brief_bin_vectors(n_bins)
+    dots = (m10[:, None] * jnp.asarray(cosb)[None]
+            + m01[:, None] * jnp.asarray(sinb)[None])        # (K, B)
+    mx = jnp.max(dots, axis=1, keepdims=True)
+    idx = jnp.where(dots >= mx, jnp.arange(n_bins, dtype=jnp.int32), 127)
+    return jnp.min(idx, axis=1)                              # (K,) int32
+
+
+def steered_brief_t_binned(patches_blur_t, m10, m01,
+                           quant: bool | None = None):
+    """XLA twin of the v7 binned-steering extraction kernel: bits from
+    TRANSPOSED blur patches with the ORB-paper 30-bin quantized steering
+    (static tables from brief_bin_tables; bin choice from raw moments via
+    angle_bins). Bit-identical to the kernel wherever the f32 bin dots
+    agree (the sampling itself is an exact one-hot selection)."""
+    ix_tab, iy_tab, _, _ = brief_bin_tables()
+    b = angle_bins(m10, m01)
+    ix = jnp.asarray(ix_tab)[b]                              # (K, 512)
+    iy = jnp.asarray(iy_tab)[b]
+    grid = jnp.arange(32)
+    col_oh = (ix[..., None] == grid).astype(jnp.float32)     # (K, 512, 32)
+    row_oh = (iy[..., None] == grid).astype(jnp.float32)
+    pt = patches_blur_t
+    if pt.shape[-1] != 32:                                   # pad 31 -> 32
+        pt = jnp.pad(pt, ((0, 0), (0, 32 - pt.shape[1]),
+                          (0, 32 - pt.shape[2])))
+    tmp = jnp.einsum("ksx,kxy->ksy", col_oh, pt,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    vals = jnp.sum(tmp * row_oh, axis=-1)                    # (K, 512)
+    if quant is None:
+        import os
+
+        q = os.environ.get("RPE_BRIEF_QUANT")
+        if q is None:
+            q = "1" if os.environ.get("RPE_BRIEF") == "cv2" else ""
+        quant = bool(q) and q != "0"
+    if quant:
+        vals = jnp.round(vals)
+    return (vals[:, :256] < vals[:, 256:]).astype(jnp.uint8)
+
+
 @functools.lru_cache(maxsize=None)
 def _atlas_valid_mask(offsets, total: int, wp: int, shapes, margin: int):
     """Static (HA, WP) mask: True inside each level's interior margin."""

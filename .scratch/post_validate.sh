@@ -39,10 +39,19 @@ export RPE_EXTRACT_T_BRIEF_V4=0
 # ~2-3% slower than v3, docs/PERF_LOG.md round 4) — never adopt on PASS
 # (a PASS marker proves correctness, never speed)
 export RPE_EXTRACT_T_SPARSE=0
-# v6 quad kernel (round 5): default-off until its interleaved A/B
-# (.scratch/tpu_quad_ab.py) records a win; adoption is a CODE default
-# flip, not a marker export
-export RPE_EXTRACT_T_QUAD=0
+# v6 quad kernel: ADOPTED round 5 as the band=32 production default
+# (interleaved A/B 08-20: b32c72 quad 3.459 vs b8c24 v3 3.607 ms/image;
+# library default-on via _VALIDATED_KERNEL_GATES). Protective direction
+# only: force off when ITS band-32 section failed on this host. NOTE
+# that at the band=32/cap=72 default the v3 fallback does not compile
+# (scoped-VMEM) — bench.py then falls back to RPE_NO_PALLAS.
+if grep -qE "^T_QUAD(_B32)? FAILED" "$LOG" 2>/dev/null; then
+  export RPE_EXTRACT_T_QUAD=0
+fi
+# v7 binned kernel: REJECTED (interleaved A/B 08-20: 5.918 vs quad's
+# 3.459 ms/image at b32c72 — the per-slot scalar->table-slice dependency
+# chain serializes); never adopt
+export RPE_EXTRACT_T_V7=0
 # device-resident VP voting: REJECTED for default (round 4 measured: gate
 # max-statistics mismatch + 3.4x slower through the tunnel) — only ever
 # enabled by its own hardware PASS

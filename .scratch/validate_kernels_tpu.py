@@ -326,6 +326,118 @@ _variant_section("T_QUAD_NB4", {"RPE_EXTRACT_T": "1",
                  kernel_fn="extract_windows_t_brief")
 
 
+@section("T_QUAD_B32")
+def _t_quad_b32():
+    """THE PRODUCTION CONFIG (round-5 adoption): band=32 / cap=72 quad
+    kernel vs the XLA banded path at the SAME band/cap — bit parity +
+    timing. Separate from the band-8 family sections because the
+    production default now rides this exact shape (config.OrbConfig
+    band=32, extract_cap=72; v3 cannot compile there — scoped VMEM)."""
+    assert det_base is not None, "baseline detect failed"
+
+    def detect_b32():
+        return jax.jit(lambda im: orb_detect_and_describe(
+            im, nfeatures=NF, nlevels=NL, scale_factor=1.1, max_kpts=MK,
+            extract_cap=72 if not SMOKE else 24, band=32))(
+                jnp.asarray(img_a))
+
+    # XLA reference at band=32 (all kernel gates off)
+    ref = {k: np.asarray(v) for k, v in detect_b32().items()}
+    os.environ["RPE_EXTRACT_T"] = "1"
+    os.environ["RPE_EXTRACT_T_BRIEF"] = "1"
+    os.environ["RPE_EXTRACT_T_QUAD"] = "1"
+    try:
+        got = {k: np.asarray(v) for k, v in detect_b32().items()}
+        v, vp = got["valid"], ref["valid"]
+        assert (v == vp).all()
+        assert np.array_equal(got["xy"][v], ref["xy"][vp])
+        ba = (got["bits"][v] == ref["bits"][vp]).mean()
+        print(f"  T_QUAD_B32 bit-agreement vs XLA(band=32): {ba:.5f}",
+              flush=True)
+        assert ba > 0.999
+
+        @jax.jit
+        def s_detect32(imgs):
+            def one(im):
+                d = orb_detect_and_describe(
+                    im, nfeatures=NF, nlevels=NL, scale_factor=1.1,
+                    max_kpts=MK, extract_cap=72 if not SMOKE else 24,
+                    band=32)
+                return sum(jnp.sum(x) for x in jax.tree.leaves(d))
+            return jnp.sum(jax.lax.map(one, imgs))
+
+        best = _best_of(s_detect32, seq, reps=3, inner=2)
+        print(f"  full_detect T_QUAD_B32: {1000*best:.1f} ms/call -> "
+              f"{1000*best/F:.3f} ms/image (A/B 08-20: 3.459)", flush=True)
+    finally:
+        os.environ["RPE_EXTRACT_T"] = "0"
+        os.environ["RPE_EXTRACT_T_BRIEF"] = "0"
+        os.environ["RPE_EXTRACT_T_QUAD"] = "0"
+
+
+@section("T_QUAD_B32 CSV-AB")
+def _t_quad_b32_csv_ab():
+    """Dataset-level A/B at the PRODUCTION config (EstimatorConfig()
+    defaults: band=32/cap=72): quad kernel vs the XLA extraction through
+    the full match->pose program on real simulator frames — poses must be
+    bit-identical (the quad family's selection values are exact). Failure
+    line contains the "T_QUAD_B32 CSV-AB FAIL" marker bench.py greps."""
+    import dataclasses
+
+    from rpe_tpu.config import EstimatorConfig, OrbConfig
+    from rpe_tpu.pipeline.estimator import _match_to_pose, detect_features
+
+    sim = "/root/reference/evaluation-runs/simulator-data/data/images"
+    frames = [0, 15, 30, 45, 60, 150, 165, 810, 825]
+    cfg = EstimatorConfig()
+    if SMOKE:
+        frames = frames[:3]
+        cfg = dataclasses.replace(
+            cfg, orb=OrbConfig(nfeatures=512, nlevels=3, max_kpts=512,
+                               band=32, extract_cap=24))
+    imgs = []
+    for f in frames:
+        im = Image.open(f"{sim}/{f:06d}.png").convert("L")
+        if SMOKE:
+            im = im.resize((256, 128), Image.BILINEAR)
+        imgs.append(np.asarray(im, np.float32))
+    seq_ab = jnp.asarray(np.stack(imgs))
+    Kj = jnp.asarray(np.array([[924.83, 0.0, 468.25],
+                               [0.0, 920.48, 353.66],
+                               [0.0, 0.0, 1.0]], np.float32))
+    keys = jax.vmap(jax.random.PRNGKey)(
+        jnp.arange(len(frames) - 1, dtype=jnp.uint32))
+
+    def run_once():
+        @jax.jit
+        def prog(ims, K, ks):
+            dets = jax.lax.map(lambda im: detect_features(im, cfg), ims)
+            d1 = jax.tree.map(lambda x: x[:-1], dets)
+            d2 = jax.tree.map(lambda x: x[1:], dets)
+            return jax.vmap(
+                lambda a, b, k: _match_to_pose(a, b, K, k, cfg))(d1, d2, ks)
+        out = prog(seq_ab, Kj, keys)
+        return {k: np.asarray(v) for k, v in out.items()
+                if k in ("R", "t", "valid", "num_inliers")}
+
+    ref = run_once()              # all gates "0" -> XLA extraction
+    os.environ["RPE_EXTRACT_T"] = "1"
+    os.environ["RPE_EXTRACT_T_BRIEF"] = "1"
+    os.environ["RPE_EXTRACT_T_QUAD"] = "1"
+    try:
+        t0 = time.perf_counter()
+        got = run_once()
+        print(f"  quad-b32 run {time.perf_counter()-t0:.0f}s", flush=True)
+    finally:
+        os.environ["RPE_EXTRACT_T"] = "0"
+        os.environ["RPE_EXTRACT_T_BRIEF"] = "0"
+        os.environ["RPE_EXTRACT_T_QUAD"] = "0"
+    for k in ref:
+        np.testing.assert_array_equal(got[k], ref[k], k)
+    print(f"  T_QUAD(band32) == XLA over {len(frames)-1} real sim pairs "
+          f"(R/t/valid/num_inliers bit-identical)", flush=True)
+
+
 @section("T_BRIEF3 CSV-AB")
 def _t_brief_csv_ab():
     """Dataset-level A/B: T_BRIEF vs the T path through the FULL
@@ -341,11 +453,17 @@ def _t_brief_csv_ab():
 
     sim = "/root/reference/evaluation-runs/simulator-data/data/images"
     frames = [0, 15, 30, 45, 60, 150, 165, 810, 825]
-    cfg = EstimatorConfig()
+    # pinned to the band-8 family shape (config defaults moved to band=32
+    # in round 5 — that production surface has its own T_QUAD_B32 CSV-AB
+    # section; the v3 T_BRIEF kernel cannot compile at band=32/cap>=72)
+    cfg = dataclasses.replace(
+        EstimatorConfig(),
+        orb=OrbConfig(band=8, extract_cap=24))
     if SMOKE:
         frames = frames[:3]
         cfg = dataclasses.replace(
-            cfg, orb=OrbConfig(nfeatures=512, nlevels=3, max_kpts=512))
+            cfg, orb=OrbConfig(nfeatures=512, nlevels=3, max_kpts=512,
+                               band=8, extract_cap=24))
     imgs = []
     for f in frames:
         im = Image.open(f"{sim}/{f:06d}.png").convert("L")

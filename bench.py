@@ -444,6 +444,9 @@ _FAIL_MARKER_GATES = (
     ("T_SPARSE FAILED", "RPE_EXTRACT_T_SPARSE"),
     ("T_QUAD FAILED", "RPE_EXTRACT_T_QUAD"),
     ("T_QUAD_NB4 FAILED", "RPE_EXTRACT_T_QUAD"),
+    # band-32 production-default sections (round-5 quad adoption)
+    ("T_QUAD_B32 FAILED", "RPE_EXTRACT_T_QUAD"),
+    ("T_QUAD_B32 CSV-AB FAIL", "RPE_EXTRACT_T_QUAD"),
 )
 
 

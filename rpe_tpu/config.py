@@ -20,21 +20,27 @@ class OrbConfig:
     scale_factor: float = 1.1
     fast_threshold: float = 15.0
     max_kpts: int = 4096  # static keypoint slots (>= nfeatures)
-    # TPU-only static knob: extraction slots per 8-row atlas band
-    # (ops/atlas.banded_extract `cap`; None = ops/atlas.CAP = 24).
-    # Extraction cost ~ NB*cap (the measured per-slot floor,
-    # docs/PERF_LOG.md round 4); too small drops clustered keypoints
-    # (.scratch/cap_occupancy_lab.py has measured drop/cap tables).
-    # Must be a multiple of 4.
-    extract_cap: int | None = None
+    # TPU-only static knob: extraction slots per `band`-row atlas band
+    # (ops/atlas.banded_extract `cap`). Extraction cost ~ NB*cap (the
+    # measured per-slot floor, docs/PERF_LOG.md round 4); too small drops
+    # clustered keypoints (.scratch/cap_occupancy_lab.py and the round-5
+    # pooled-occupancy tables have measured drop/cap numbers). Must be a
+    # multiple of 4. Default 72 pairs with band=32 below (the round-5
+    # pooled-banding adoption): 98.8% of the band=8/cap=24 keypoint
+    # retention on the bench frame at -25% slots.
+    extract_cap: int | None = 72
     # Extraction band row height (8/16/32; ops/atlas.banded_extract
     # `band`). Wider bands POOL slot capacity so clustered rows borrow
     # slots from sparse neighbors (round-5 pooled banding): the same
-    # keypoint drop rate needs fewer total slots = less extraction time
-    # (.scratch/pooled_occupancy_lab.py sizing tables; adoption per the
-    # interleaved hardware A/B in docs/PERF_LOG.md round 5). extract_cap
-    # is interpreted PER BAND of this height.
-    band: int = 8
+    # keypoint drop rate needs fewer total slots = less extraction time.
+    # Default 32 ADOPTED round 5 with the v6 quad kernel (interleaved
+    # hardware A/B 08-20: full detect 3.459 vs 3.607 ms/image at band=8;
+    # the v3 kernel's per-slot masked accumulate grows 4x at band=32, so
+    # band=32 routes through the quad MXU row-select — ops/fast.py
+    # _VALIDATED_KERNEL_GATES). Function-level defaults in ops/ stay
+    # band=8 (oracle tests, band-generic kernels); this config default is
+    # what production, bench, and the committed goldens ride.
+    band: int = 32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -153,9 +159,12 @@ _PROFILES = {
     # (sim drops 4.9% at cap 24) so it keeps the default; orb1000 at
     # cap 16 drops 3.0% (sim) / 8.1% (bench shape) for a 33% slot cut;
     # orb512 at cap 12 drops ~4% for a 50% slot cut (max-speed tier).
+    # orb2000 inherits the band=32/cap=72 pooled default; orb1000/orb512
+    # keep their MEASURED band=8 configs (their small caps are sized in
+    # per-8-row units — docs/API.md "Profiles").
     "orb2000": {"orb": {"nfeatures": 2000, "nlevels": 8, "max_kpts": 2048}},
     "orb1000": {"orb": {"nfeatures": 1000, "nlevels": 6, "max_kpts": 1024,
-                        "extract_cap": 16}},
+                        "extract_cap": 16, "band": 8}},
     # max-speed tier: also cuts the constant-cost stages (the 5pt RANSAC
     # batch and the match cap) that dominate once detection shrinks —
     # 128 minimal samples ~ OpenCV's adaptive iteration count at a ~55%
@@ -168,7 +177,7 @@ _PROFILES = {
     # stretch's measured inlier counts — healthy orb512 pairs average
     # ~170 inliers, the catastrophic ones collapse below ~25).
     "orb512": {"orb": {"nfeatures": 512, "nlevels": 4, "max_kpts": 512,
-                       "extract_cap": 12},
+                       "extract_cap": 12, "band": 8},
                "matcher": {"max_matches": 256},
                "ransac": {"num_hypotheses": 128},
                "fallback_profile": "orb1000",

@@ -135,6 +135,14 @@ _VALIDATED_KERNEL_GATES = frozenset({
     "RPE_EXTRACT_T",
     "RPE_EXTRACT_T_BRIEF",
     "RPE_EXTRACT_MOMENTS",
+    # v6 quad: hardware-validated bit-agreement 1.00000 at band=8 (08-20,
+    # T_QUAD + T_QUAD_NB4 PASS) and the measured winner at the band=32
+    # production default (interleaved A/B 08-20: b32c72 quad 3.459 vs
+    # b8c24 v3 3.607 ms/image full detect; v3's masked accumulate grows
+    # 4x at band=32 and its cap>=72 outputs blow scoped VMEM) — the
+    # validation chain's band-32 sections guard it per host
+    # (.scratch/validate_kernels_tpu.py T_QUAD_B32*).
+    "RPE_EXTRACT_T_QUAD",
 })
 
 _GATE_OFF = ("", "0", "off", "false", "no")

@@ -136,3 +136,86 @@ def test_band32_pose_equivalence():
     cross = sorted(ang(r8[i], r32[i]) for i in range(4))
     med = cross[len(cross) // 2]
     assert med < 1.5, f"median pose delta {med} deg (all {cross})"
+
+
+def test_band32_quad_interpret_bit_parity():
+    """The PRODUCTION extraction config (round-5 adoption: band=32,
+    cap=72... smoke-sized here, quad kernel) must agree with the XLA
+    banded path exactly as the band-8 families do. Guards the
+    _VALIDATED_KERNEL_GATES default for RPE_EXTRACT_T_QUAD at band=32
+    (hardware twin: validate_kernels_tpu.py T_QUAD_B32)."""
+    import os
+
+    from rpe_tpu.ops.orb import orb_detect_and_describe
+
+    a, _ = _real_pair()
+    kw = dict(nfeatures=512, nlevels=3, max_kpts=512, band=32,
+              extract_cap=24)
+    det_x = _detect(a, 32, cap=24)
+    os.environ["RPE_PALLAS_INTERPRET"] = "1"
+    os.environ["RPE_EXTRACT_T"] = "1"
+    os.environ["RPE_EXTRACT_T_BRIEF"] = "1"
+    os.environ["RPE_EXTRACT_T_QUAD"] = "1"
+    try:
+        det_p = jax.jit(
+            lambda im: orb_detect_and_describe(im, **kw))(jnp.asarray(a))
+        det_p = {k: np.asarray(v) for k, v in det_p.items()}
+    finally:
+        for k in ("RPE_PALLAS_INTERPRET", "RPE_EXTRACT_T",
+                  "RPE_EXTRACT_T_BRIEF", "RPE_EXTRACT_T_QUAD"):
+            os.environ[k] = "0"
+    m = det_x["valid"]
+    assert (det_p["valid"] == m).all()
+    assert np.array_equal(det_p["xy"][m], det_x["xy"][m])
+    ba = float((det_p["bits"][m] == det_x["bits"][m]).mean())
+    # same family gate as the other interpret parity tests (reassociated
+    # IC moments can flip a BRIEF sample on a round() boundary; hardware
+    # measured 1.00000 for the quad family 08-20)
+    assert ba > 0.999, f"bit agreement {ba}"
+
+
+def test_production_profile_defaults():
+    """The parity profile rides the adopted pooled-banding config; the
+    small work-cut profiles keep their measured band-8 shapes (their
+    caps are sized in per-8-row units, docs/API.md 'Profiles')."""
+    from rpe_tpu.config import profile_config
+
+    par = profile_config("parity")
+    assert par.orb.band == 32 and par.orb.extract_cap == 72
+    assert profile_config("orb2000").orb.band == 32
+    for name in ("orb1000", "orb512"):
+        p = profile_config(name)
+        assert p.orb.band == 8, name
+        assert p.orb.extract_cap in (16, 12), name
+
+
+def test_v7_binned_kernel_matches_xla_twin():
+    """The v7 binned-steering experiment (REJECTED for speed, kept as a
+    documented kernel): bits must equal orb.steered_brief_t_binned on the
+    same tables — the twin that defines the ORB-paper 30-bin semantics
+    (orb.brief_bin_tables)."""
+    from rpe_tpu.ops.extract_pallas import (extract_windows_t,
+                                            extract_windows_t_brief)
+    from rpe_tpu.ops.orb import steered_brief_t_binned
+
+    rng = np.random.default_rng(5)
+    band, cap, nbody, nb = 32, 24, 1, 4
+    ha, wp = nb * band, 384
+    atlas = jnp.asarray(rng.uniform(0, 255, (ha, wp)).astype(np.float32))
+    blurred = jnp.asarray(rng.uniform(0, 255, (ha, wp)).astype(np.float32))
+    x0 = jnp.asarray(rng.integers(0, wp - 31, (nb, cap)).astype(np.int32))
+    rely = np.full((nb, cap), -31, np.int32)
+    live = rng.random((nb, cap)) < 0.5
+    rely[live] = rng.integers(0, band, live.sum())
+    rely = jnp.asarray(rely)
+    bits7, m10, m01 = extract_windows_t_brief(
+        atlas, blurred, x0, rely, interpret=True, band=band, nbody=nbody,
+        binned=True)
+    blurp_t, _, _ = extract_windows_t(
+        atlas, blurred, x0, rely, interpret=True, band=band, nbody=nbody)
+    bt = jnp.asarray(np.asarray(blurp_t).reshape(-1, 32, 32))
+    ref = np.asarray(steered_brief_t_binned(
+        bt, jnp.asarray(m10).reshape(-1), jnp.asarray(m01).reshape(-1)))
+    got = np.asarray(bits7).reshape(-1, 256)
+    assert (got == ref).mean() > 0.999
+    assert not got[~live.reshape(-1)].any()

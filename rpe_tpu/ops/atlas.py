@@ -293,7 +293,8 @@ def banded_extract(atlas, blurred, xy, valid, patch: int = 31,
                 diet=kernel_gate("RPE_EXTRACT_T_BRIEF_V4"),
                 sparse=kernel_gate("RPE_EXTRACT_T_SPARSE"),
                 quad=kernel_gate("RPE_EXTRACT_T_QUAD"),
-                binned=kernel_gate("RPE_EXTRACT_T_V7"))
+                binned=kernel_gate("RPE_EXTRACT_T_V7"),
+                quadsamp=kernel_gate("RPE_EXTRACT_T_V8"))
             return {
                 "patches_raw": None,
                 "patches_blur": None,

@@ -633,6 +633,103 @@ def _extract_t_brief_kernel_quad(quant, nbody, band, *refs):
     m01_ref[0, 0] = jnp.stack(m01s)
 
 
+def _extract_t_brief_kernel_v8(quant, nbody, band, *refs):
+    # v8 (round 5): quad's MXU row-select + the BRIEF *sampling* batched
+    # 4 slots per MXU contraction with the one-hots still built PER SLOT
+    # at the continuous angle — BIT-IDENTICAL to v3/v6 (same uoh/voh
+    # values, same exact one-hot selections at HIGHEST), unlike v7's
+    # binned tables. Removes per slot: 2 small (32,32)@(32,256) dots + 2
+    # masked axis-0 reductions; adds per quad: 2 (128,512) concats + one
+    # (128,128)@(128,512) sampling dot + one (4,128)@(128,512) selection
+    # dot. No data-dependent slices anywhere (v7's measured killer).
+    np_ = 2 * (nbody + 32 // band)
+    planes = refs[:np_]
+    x0_ref, ry_ref, mu_ref, mv_ref, patx_ref, paty_ref = refs[np_:np_ + 6]
+    bits_ref, m10_ref, m01_ref, wt_ref = refs[np_ + 6:]
+    cap = x0_ref.shape[2] // nbody   # slots per band (static block shape)
+
+    nrows = 2 * (band * nbody + 32)
+    w = jnp.concatenate([p[:] for p in planes], axis=0)
+    if nrows < 128:
+        w = jnp.concatenate(
+            [w, jnp.zeros((128 - nrows, w.shape[1]), w.dtype)], axis=0)
+    wtp = jnp.transpose(w)
+    wt_ref[:] = jnp.concatenate(
+        [wtp, jnp.zeros((band, wtp.shape[1]), wtp.dtype)], axis=0)
+    mu = mu_ref[:]
+    mv = mv_ref[:]
+    blur_base = band * nbody + 32
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+    qsel = (lane // 32) % 4                      # quad-member of column n
+    vbase = (lane % 32) + jnp.where(lane >= 128, blur_base, 0)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (128, 256), 0)
+    r128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    c128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    bdmask = ((r128 // 32) == (c128 // 32)).astype(jnp.float32)
+    g4r = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 0)
+    g4c = jax.lax.broadcasted_iota(jnp.int32, (4, 128), 1)
+    sel4 = (g4r == (g4c // 32)).astype(jnp.float32)          # (4, 128)
+    # pattern x/y as one (1, 512) j-major row (v3's j loop flattened)
+    px512 = jnp.concatenate([patx_ref[0:1, :], patx_ref[1:2, :]], axis=1)
+    py512 = jnp.concatenate([paty_ref[0:1, :], paty_ref[1:2, :]], axis=1)
+    rows512 = jax.lax.broadcasted_iota(jnp.int32, (_PP, 512), 0)
+
+    bits, m10s, m01s = [], [], []
+    for j in range(nbody):
+        for g in range(cap // 4):
+            idx0 = j * cap + 4 * g
+            xs4 = jnp.concatenate(
+                [wt_ref[pl.ds(x0_ref[0, 0, idx0 + q], _PP), :]
+                 for q in range(4)], axis=0)                 # (128, 128)
+            offv = vbase
+            for q in range(4):
+                ryq = ry_ref[0, 0, idx0 + q]
+                offq = jnp.where(ryq >= 0, band * j + ryq, -1000)
+                offv = offv + jnp.where(qsel == q, offq, 0)
+            rb = (sub == offv).astype(jnp.float32)           # (128, 256)
+            out = jnp.dot(xs4, rb, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+            blurd = jax.lax.slice(out, (0, 128), (128, 256)) * bdmask
+            uohs, vohs = [], []
+            for q in range(4):
+                raw_t = jax.lax.slice(
+                    out, (32 * q, 32 * q), (32 * q + _PP, 32 * q + _PP))
+                m10 = jnp.sum(raw_t * mu)
+                m01 = jnp.sum(raw_t * mv)
+                m10s.append(m10)
+                m01s.append(m01)
+                r_ = jnp.sqrt(m10 * m10 + m01 * m01)
+                rsafe = jnp.where(r_ > 0.0, r_, 1.0)
+                ca = jnp.where(r_ > 0.0, m10 / rsafe, 1.0)
+                sa = jnp.where(r_ > 0.0, m01 / rsafe, 0.0)
+                rx = px512 * ca - py512 * sa                 # (1, 512)
+                ry_ = px512 * sa + py512 * ca
+                ix = jnp.clip(jnp.round(rx).astype(jnp.int32) + PATCH_R,
+                              0, 2 * PATCH_R)
+                iy = jnp.clip(jnp.round(ry_).astype(jnp.int32) + PATCH_R,
+                              0, 2 * PATCH_R)
+                uohs.append((rows512 == ix).astype(jnp.float32))
+                vohs.append((rows512 == iy).astype(jnp.float32))
+            UOH4 = jnp.concatenate(uohs, axis=0)             # (128, 512)
+            VOH4 = jnp.concatenate(vohs, axis=0)
+            qmat = jnp.dot(blurd, VOH4,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            prd = UOH4 * qmat                                # (128, 512)
+            vals = jnp.dot(sel4, prd,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)  # (4, 512)
+            if quant:
+                vals = jnp.round(vals)
+            v0 = jax.lax.slice(vals, (0, 0), (4, 256))
+            v1 = jax.lax.slice(vals, (0, 256), (4, 512))
+            bits.append((v0 < v1).astype(jnp.float32))
+    bits_ref[0] = jnp.concatenate(bits, axis=0).astype(bits_ref.dtype)
+    m10_ref[0, 0] = jnp.stack(m10s)
+    m01_ref[0, 0] = jnp.stack(m01s)
+
+
 def _extract_t_brief_kernel_v7(quant, nbody, band, *refs):
     # v7 "binned" kernel (round 5): quad's MXU row-select PLUS the BRIEF
     # sampling batched 4 slots per MXU contraction through STATIC
@@ -829,7 +926,8 @@ def _extract_t_brief_kernel_sparse(quant, nbody, band, *refs):
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "quant", "nbody", "diet",
-                                    "sparse", "quad", "band", "binned"))
+                                    "sparse", "quad", "band", "binned",
+                                    "quadsamp"))
 def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
                             interpret: bool = False,
                             quant: bool | None = None,
@@ -838,7 +936,8 @@ def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
                             sparse: bool = False,
                             quad: bool = False,
                             band: int | None = None,
-                            binned: bool = False):
+                            binned: bool = False,
+                            quadsamp: bool = False):
     """Transposed extraction with IC moments AND steered BRIEF in-kernel.
 
     Same inputs as `extract_windows_t`; returns (bits, m10, m01) with
@@ -899,7 +998,10 @@ def extract_windows_t_brief(atlas, blurred, tbl_x0, rel_y,
             lambda b, q=q: (jnp.minimum(b * nbody + q, nb - 1), 0),
             memory_space=pltpu.VMEM)
 
-    if binned:
+    if quadsamp:
+        assert cap % 4 == 0, f"v8 kernel needs cap % 4 == 0, got {cap}"
+        kfn = _extract_t_brief_kernel_v8
+    elif binned:
         assert cap % 4 == 0, f"v7 kernel needs cap % 4 == 0, got {cap}"
         kfn = _extract_t_brief_kernel_v7
     elif quad:

@@ -21,10 +21,14 @@ from rpe_tpu.pipeline.ground_truth import GroundTruthLoader
 
 SIM_DATA = "/root/reference/evaluation-runs/simulator-data/data"
 
-# deliberately starved primary config: few features on few levels so the
+# deliberately starved primary config: few features on few levels AND
+# the pre-pooling band-8/cap-8 extraction (the round-5 band=32/cap=72
+# default POOLS slots and rescued enough keypoints on sim frame 0 that
+# the fallback no longer strictly beat it on match count) so the
 # stronger fallback profile (orb512) reliably finds MORE inliers
 WEAK = EstimatorConfig(
-    orb=OrbConfig(nfeatures=128, nlevels=2, max_kpts=128),
+    orb=OrbConfig(nfeatures=128, nlevels=2, max_kpts=128, band=8,
+                  extract_cap=8),
     matcher=MatcherConfig(max_matches=64),
     ransac=RansacConfig(num_hypotheses=64),
 )

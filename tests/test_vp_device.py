@@ -143,7 +143,16 @@ def test_device_refine_recovers_perturbation(rng):
     Delta_new == Delta_prev by construction, so the LM optimum is exact
     regardless of voting quantization."""
     img, K, _ = _manhattan_scene(rng)
-    cfg = VpConfig(enabled=True, acc_min=0.0, vp2_min=0.0)
+    # max_pairs above any scene's line-pair count forces the ALL-PAIRS
+    # voting regime: deterministic, so Delta_new == Delta_prev holds.
+    # (The default 3000 can flip to WITH-REPLACEMENT sampling — per-role
+    # seeds 0/1 like the reference — whenever LSD finds > ~78 segments;
+    # the two frames' Deltas then differ by draw and the LM optimum can
+    # legitimately sit ~90 deg away on a column swap. The session-scoped
+    # rng fixture made this order-dependent: scenes drawn later in the
+    # suite produced more segments.)
+    cfg = VpConfig(enabled=True, acc_min=0.0, vp2_min=0.0,
+                   max_pairs=30000)
     R_rel_bad = _so3_exp_np(np.array([0.03, -0.02, 0.04]))
 
     fn = jax.jit(lambda a, b, Rp, Rr: refine_rotation_with_vps_device(

@@ -108,11 +108,16 @@ xy = np.asarray(_det["xy"])  # base coords; need atlas coords — redo quick
 # interpret=0 path by calling the internal table math ourselves.
 r = 31 // 2
 # fallback: time the kernel on synthetic-but-realistic tables (uniform
-# x0, all slots live) — slot count is what the timer measures
-nb = ha // BAND
+# x0, all slots live) — slot count is what the timer measures. Shapes
+# follow the PRODUCTION config (round-5 pooled banding: band=32/cap=72
+# through the quad kernel; falls back to atlas defaults if cfg carries
+# none).
+_band = _o.band or BAND
+_cap = _o.extract_cap or CAP * _band // 8
+nb = ha // _band
 rng2 = np.random.default_rng(0)
-tbl_x0 = rng2.integers(0, wp - 31 + 1, (nb, CAP)).astype(np.int32)
-rel_y = rng2.integers(0, BAND, (nb, CAP)).astype(np.int32)
+tbl_x0 = rng2.integers(0, wp - 31 + 1, (nb, _cap)).astype(np.int32)
+rel_y = rng2.integers(0, _band, (nb, _cap)).astype(np.int32)
 tx = jnp.asarray(tbl_x0); ry = jnp.asarray(rel_y)
 
 # 8 perturbed copies mapped in ONE program: a single-image extraction
@@ -123,18 +128,26 @@ pert = (jnp.arange(EX_N, dtype=jnp.float32) * 1e-3)[:, None, None]
 atl8 = atlas[None] + pert
 blr8 = blurred[None] + pert
 
+from rpe_tpu.ops.fast import extract_nbody, kernel_gate
+
+_nbody = extract_nbody(_band)
+_quad = kernel_gate("RPE_EXTRACT_T_QUAD")
+
+
 @jax.jit
 def s_extract(a8, b8):
     def one(args):
         at, bl = args
-        bits, m10, m01 = extract_windows_t_brief(at, bl, tx, ry, nbody=4)
+        bits, m10, m01 = extract_windows_t_brief(
+            at, bl, tx, ry, nbody=_nbody, band=_band, quad=_quad)
         return (jnp.sum(bits.astype(jnp.float32)) + jnp.sum(m10)
                 + jnp.sum(m01))
     return jnp.sum(jax.lax.map(one, (a8, b8)))
 
 ex = timeit("extract_only_x8", s_extract, atl8, blr8, reps=4) / EX_N
 rec = {"extract_ms_per_image": 1000 * ex,
-       "note": "extract_windows_t_brief alone, nbody=4, all slots live "
+       "note": f"extract_windows_t_brief alone, band={_band} cap={_cap} "
+               f"nbody={_nbody} quad={_quad}, all slots live "
                "(synthetic tables at production shapes)"}
 with open("/tmp/stage_probe.json", "w") as f:
     f.write(json.dumps(rec) + "\n")

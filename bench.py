@@ -444,9 +444,14 @@ _FAIL_MARKER_GATES = (
     ("T_SPARSE FAILED", "RPE_EXTRACT_T_SPARSE"),
     ("T_QUAD FAILED", "RPE_EXTRACT_T_QUAD"),
     ("T_QUAD_NB4 FAILED", "RPE_EXTRACT_T_QUAD"),
-    # band-32 production-default sections (round-5 quad adoption)
+    # band-32 production-default section (round-5 quad adoption). NOTE:
+    # deliberately NOT the "T_QUAD_B32 CSV-AB" line — the quad family's
+    # IC-moment reassociation can flip a BRIEF bit on a round() boundary
+    # (documented contract: bit-agreement > 0.999 + pose parity within
+    # RANSAC noise, NOT pose identity), so its dataset A/B gates pose
+    # DELTAS; the kernel-correctness protective marker is the bit-parity
+    # section below (hardware 1.00000, 08-21).
     ("T_QUAD_B32 FAILED", "RPE_EXTRACT_T_QUAD"),
-    ("T_QUAD_B32 CSV-AB FAIL", "RPE_EXTRACT_T_QUAD"),
 )
 
 
